@@ -1,13 +1,356 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.Dedup
+import graft.fs.{FeatureLookup, LookupHint, TrainingSet}
+import graft.multimodal.Multimodal
+import graft.ops.{Events, Relational}
+import graft.sim.Similarity
+import graft.streaming.EventStreams
+import graft.text.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query
+  * over the testdata star schema; queries with an ANSI-SQL equivalent carry
+  * a DuckDB oracle in [[oracleSql]] (same column names, deterministic ORDER
+  * BY, decimal-exact aggregation — see [[graft.ops.Relational]] docs for the
+  * numeric-parity convention).
+  */
 object SparkEntry {
+
+  /** Flagship: training-set assembly via declarative feature lookups —
+    * the reference's central operator (SURVEY.md §2.3 J1) on the testdata
+    * analog: lineitem facts enriched from the part and supplier dimensions,
+    * join keys excluded (reference: 02_model_training.py:242-250). */
+  def trainingSetAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val facts = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+    val lookups = Seq(
+      FeatureLookup("part", Seq("p_brand", "p_retailprice"), "l_partkey",
+        Some("p_partkey"), LookupHint.Broadcast) -> Tables.part(spark, sfDir),
+      FeatureLookup("supplier", Seq("s_name", "s_acctbal"), "l_suppkey",
+        Some("s_suppkey"), LookupHint.Broadcast) -> Tables.supplier(spark, sfDir))
+    TrainingSet.fromFrames(facts, lookups,
+        labelColumn = Some("l_returnflag"),
+        excludeColumns = Seq("l_partkey", "l_suppkey"))
+      .loadDf
+      // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem;
+      // order by every output column so the result order is total.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "p_brand", "p_retailprice", "s_name", "s_acctbal")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    trainingSetAssembly(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- scans / filters / joins / aggs (SURVEY §2.1-2.4, §7.3) ------------
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q02_filter_scan" -> ((s, d) => Relational.filterScan(Tables.lineitem(s, d))),
+    "q03_top_revenue" -> ((s, d) =>
+      Relational.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q04_training_set" -> ((s, d) => trainingSetAssembly(s, d)),
+    "q05_customer_order_stats" -> ((s, d) =>
+      Relational.customerOrderStats(Tables.customer(s, d), Tables.orders(s, d))),
+    "q06_selective_agg" -> ((s, d) => Relational.selectiveRevenue(Tables.lineitem(s, d))),
+    "q07_semi_join" -> ((s, d) =>
+      Relational.customersWithFinishedOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q08_anti_join" -> ((s, d) =>
+      Relational.customersWithoutPendingOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q09_distinct_agg" -> ((s, d) => Relational.segmentStats(Tables.customer(s, d))),
+    "q10_rollup" -> ((s, d) =>
+      Relational.revenueRollup(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d))),
+    // -- windows / sorts / set ops (SURVEY §2.6) ---------------------------
+    "q11_window_rank" -> ((s, d) => Relational.firstOrdersPerCustomer(Tables.orders(s, d))),
+    "q12_window_moving" -> ((s, d) => Relational.movingQuantity(Tables.lineitem(s, d))),
+    "q13_topk" -> ((s, d) => Relational.topOrders(Tables.orders(s, d))),
+    "q14_symdiff" -> ((s, d) => Relational.exclusiveStatusCustomers(Tables.orders(s, d))),
+    "q15_intersect" -> ((s, d) => Relational.sharedStatusCustomers(Tables.orders(s, d))),
+    // -- scalar functions (SURVEY §2.7) ------------------------------------
+    "q16_scalar_funcs" -> ((s, d) => Relational.scalarShowcase(Tables.orders(s, d))),
+    "q17_bigjoin_agg" -> ((s, d) =>
+      Relational.orderLineRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // -- event-time windows (SURVEY §2.10) ---------------------------------
+    "q18_event_tumbling" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
+    "q19_event_sliding" -> ((s, d) => Events.slidingHourly(Tables.events(s, d))),
+    "q20_event_sessions" -> ((s, d) => Events.userSessions(Tables.events(s, d))),
+    "q21_event_histogram" -> ((s, d) => Events.typeHistogram(Tables.events(s, d))),
+    "q22_json_extract" -> ((s, d) => Events.propsAggregate(Tables.events(s, d))),
+    // -- LLM-pipeline extensions (SURVEY §2.11) ----------------------------
+    "q23_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q24_text_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "q25_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "q26_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "q27_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "q28_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q29_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0, 20)),
+    // -- approximate / ML-backed ops: no SQL oracle (rows-only check) ------
+    "q30_minhash_neardup" -> ((s, d) => Dedup.minHashDedup(Tables.documents(s, d))),
+    "q31_simhash" -> ((s, d) => TextOps.simHash(Tables.documents(s, d))),
+    "q32_simhash_neardups" -> ((s, d) => TextOps.simHashNearDups(Tables.documents(s, d))),
+    "q33_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0, 20)),
+    "q34_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Similarity.buildIvf(Tables.embeddings(s, d)), 0, 20)),
+    "q35_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.8)),
+    "q36_lang_id" -> ((s, d) =>
+      TextOps.languageId(Tables.documents(s, d), Tables.documents(s, d))),
+    "q37_multimodal_features" -> ((s, d) =>
+      Multimodal.mediaFeatureStats(s, Tables.documents(s, d))),
+    "q38_stream_tumbling" -> ((s, d) => EventStreams.tumblingHourlyStream(s, d)))
+
+  /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
+  private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
+  private val discPrice =
+    s"CAST(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}) AS DECIMAL(18,4))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST($discPrice * (1 + ${dec("l_tax")}) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  COUNT(*) AS count_order,
+         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_training_set" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  p_brand, p_retailprice, s_name, s_acctbal
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  p_brand NULLS FIRST, p_retailprice NULLS FIRST,
+        |  s_name NULLS FIRST, s_acctbal NULLS FIRST""".stripMargin,
+    "q05_customer_order_stats" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, n_orders, total_spent
+         |FROM customer
+         |LEFT JOIN (
+         |  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+         |    CAST(SUM(${dec("o_totalprice")}) AS DOUBLE) AS total_spent
+         |  FROM orders GROUP BY o_custkey) o USING (c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+    "q06_selective_agg" ->
+      s"""SELECT
+         |  CAST(SUM(CAST(${dec("l_extendedprice")} * ${dec("l_discount")} AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_distinct_agg" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  COUNT(DISTINCT c_nationkey) AS n_nations,
+         |  CAST(SUM(${dec("c_acctbal")}) AS DOUBLE) AS sum_acctbal,
+         |  CAST(SUM(${dec("c_acctbal")}) AS DOUBLE) / COUNT(*) AS avg_acctbal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q10_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+         |  CAST(SUM(${dec("o_totalprice")}) AS DOUBLE) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q11_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rn, prev_price FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |    LAG(o_totalprice, 1) OVER w AS prev_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q12_window_moving" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         |  CAST(SUM(${dec("l_quantity")}) OVER w AS DOUBLE) AS qty_3sum,
+         |  CAST(SUM(${dec("l_quantity")}) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS qty_3avg
+         |FROM lineitem
+         |WINDOW w AS (PARTITION BY l_suppkey
+         |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, qty_3sum, qty_3avg""".stripMargin,
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q14_symdiff" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  UNION
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY o_custkey""".stripMargin,
+    "q15_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q16_scalar_funcs" ->
+      s"""SELECT o_orderkey,
+         |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+         |  CAST(day(o_orderdate) AS INTEGER) AS order_day,
+         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         |  upper(o_orderpriority) AS priority_upper,
+         |  substring(o_orderpriority, 1, 1) AS priority_code,
+         |  o_orderstatus || '-' || o_orderpriority AS status_priority,
+         |  CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+         |  CAST(CAST(${dec("o_totalprice")} * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS DOUBLE) AS price_with_tax,
+         |  CAST(ABS(${dec("o_totalprice")} - 200000) AS DOUBLE) AS price_dev
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q17_bigjoin_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lines,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q18_event_tumbling" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) / COUNT(*) AS avg_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_event_sliding" ->
+      """SELECT window_start, COUNT(*) AS n_events FROM (
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+        |           - k.k * INTERVAL '30 minutes' AS window_start
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q20_event_sessions" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q21_event_histogram" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(k) AS n_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q24_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q25_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS INTEGER) AS max_token_len,
+        |  CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_quality_score" ->
+      """SELECT doc_id, lang, n_words, n_stopwords,
+        |  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+        |  n_words >= 10 AND n_words <= 10000 AS length_ok
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','an','and','of','to','in','is','it','for'], t))) AS INTEGER) AS n_stopwords
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q27_fingerprints" ->
+      """SELECT doc_id, sha256(text) AS sha256_hex,
+        |  sha256(substring(text, 1, 64)) AS prefix_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [text]
+        |         ELSE list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+        |df AS (SELECT sh AS s, COUNT(*) AS df FROM sh GROUP BY sh),
+        |total AS (SELECT COUNT(*) AS n FROM documents),
+        |filtered AS (
+        |  SELECT sh.doc_id, sh.sh FROM sh
+        |  JOIN df ON sh.sh = df.s CROSS JOIN total
+        |  WHERE df.df <= CAST(floor(total.n * 0.5) AS BIGINT)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM filtered a JOIN filtered b ON a.sh = b.sh
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.doc_a = sa.doc_id
+        |JOIN sizes sb ON inter.doc_b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_cosine_topk" ->
+      """SELECT vec_id, label,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q38_stream_tumbling" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,0 +1,136 @@
+package graft.fs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+import scala.collection.concurrent.TrieMap
+
+/** Primary-key violation detected while materializing a feature table. */
+final class PrimaryKeyViolation(msg: String) extends RuntimeException(msg)
+
+/** Spark-native feature store over a parquet base path.
+  *
+  * Mirrors the reference's Feature Store client surface
+  * (notebooks/01_feature_table_creation.py:153-191 — `create_table`,
+  * `drop_table`; notebooks/02_model_training.py:140-148 — `read_table`)
+  * re-expressed as idiomatic Spark:
+  *
+  *  - tables are columnar parquet at `basePath/<name>` (scans get column
+  *    pruning + predicate pushdown for free);
+  *  - PK metadata lives in a small driver-side registry (persisted as a
+  *    sidecar `_graft_meta.json` per table so a fresh session can re-attach);
+  *  - PK uniqueness is enforced at write time with a distributed
+  *    `groupBy(pk).count > 1` probe — one aggregation job, no collect of
+  *    data rows, safe at 100 TB.
+  *
+  * Partition columns: pass `partitionBy` for tables that will be pruned by
+  * a hot predicate column at scale (e.g. ingest date).
+  */
+final class FeatureStore(spark: SparkSession, val basePath: String) {
+
+  private val registry = TrieMap.empty[String, FeatureTable]
+
+  private def tablePath(name: String) = s"$basePath/${name.replace('.', '/')}"
+  private def metaPath(name: String)  = s"${tablePath(name)}/_graft_meta.json"
+
+  /** Materialize `df` as feature table `name` keyed by `primaryKeys`.
+    *
+    * Validates (reference: 01_feature_table_creation.py:172-174 does only the
+    * column-presence check; uniqueness is implicit there — we make it
+    * explicit, SURVEY.md §7.5 risk 5):
+    *  1. every PK column exists;
+    *  2. no PK column is null;
+    *  3. the PK tuple is unique.
+    */
+  def createTable(
+      name: String,
+      primaryKeys: Seq[String],
+      df: DataFrame,
+      description: String = "",
+      partitionBy: Seq[String] = Nil,
+      enforcePrimaryKey: Boolean = true): FeatureTable = {
+    require(primaryKeys.nonEmpty, s"feature table $name needs >=1 primary key column")
+    val missing = primaryKeys.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"primary key columns not in dataframe: ${missing.mkString(", ")}")
+
+    if (enforcePrimaryKey) {
+      // Single distributed agg job: any key tuple appearing twice (or with a
+      // null component) breaks the N:1 lookup contract.
+      val keyCols = primaryKeys.map(col)
+      val dup = df
+        .groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 || primaryKeys.map(col(_).isNull).reduce(_ || _))
+        .limit(1)
+        .count()
+      if (dup > 0)
+        throw new PrimaryKeyViolation(
+          s"table $name: duplicate or null primary key (${primaryKeys.mkString(",")})")
+    }
+
+    val path = tablePath(name)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
+
+    val ft = FeatureTable(name, primaryKeys, description, df.schema, path)
+    writeMeta(ft)
+    registry.put(name, ft)
+    ft
+  }
+
+  /** Read a registered table (reference: 02_model_training.py:145). */
+  def readTable(name: String): DataFrame =
+    spark.read.parquet(getTable(name).path)
+
+  def getTable(name: String): FeatureTable =
+    registry.getOrElse(name, loadMeta(name).getOrElse(
+      throw new NoSuchElementException(s"feature table not registered: $name")))
+
+  def tableExists(name: String): Boolean =
+    registry.contains(name) || loadMeta(name).isDefined
+
+  /** Idempotent drop (reference: 01_feature_table_creation.py:153-160). */
+  def dropTable(name: String): Unit = {
+    registry.remove(name)
+    val p = new org.apache.hadoop.fs.Path(tablePath(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  def listTables(): Seq[FeatureTable] = registry.values.toSeq.sortBy(_.name)
+
+  // ---- sidecar metadata (PK survives across sessions) ----------------------
+
+  private def writeMeta(ft: FeatureTable): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(ft.name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val json =
+      s"""{"name":${q(ft.name)},"primaryKeys":[${ft.primaryKeys.map(q).mkString(",")}],
+         |"description":${q(ft.description)},"schema":${q(ft.schema.json)}}""".stripMargin
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def loadMeta(name: String): Option[FeatureTable] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      // Minimal parse: we wrote it, we read it. PKs between the brackets.
+      val pks = "\"primaryKeys\":\\[(.*?)\\]".r.findFirstMatchIn(raw)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val desc = "\"description\":\"(.*?)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+      val schema = spark.read.parquet(tablePath(name)).schema
+      val ft = FeatureTable(name, pks, desc, schema, tablePath(name))
+      registry.put(name, ft)
+      Some(ft)
+    }
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+}

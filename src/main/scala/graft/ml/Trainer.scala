@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StringType
+
+/** Gradient-boosted-tree training over a training-set DataFrame — the
+  * distributed replacement for the reference's driver-local CatBoost fit
+  * (notebooks/02_model_training.py:87-97, :422-436: 100 iterations,
+  * lr 0.1, depth 6, seed 42). Early stopping (od_wait/use_best_model) has no
+  * Spark ML equivalent — iterations are fixed (SURVEY.md §7.5 risk 3).
+  *
+  * Categorical handling mirrors the reference's M1 (02_model_training.py:
+  * 311-328): string-typed columns are discovered from the schema and
+  * index-encoded (tree models consume the ordinal index directly, as
+  * CatBoost consumes categorical feature indices).
+  */
+object Trainer {
+
+  final case class TrainParams(
+      maxIter: Int = 100,
+      stepSize: Double = 0.1,
+      maxDepth: Int = 6,
+      seed: Long = 42L)
+
+  /** String-typed feature columns (schema-driven, no data pass). */
+  def categoricalColumns(df: DataFrame, labelColumn: String): Seq[String] =
+    df.schema.fields
+      .filter(f => f.dataType == StringType && f.name != labelColumn)
+      .map(_.name).toSeq
+
+  /** Assemble the pipeline: index categoricals → vector-assemble → GBT. */
+  def pipeline(df: DataFrame, labelColumn: String, params: TrainParams = TrainParams()): Pipeline = {
+    val cats = categoricalColumns(df, labelColumn)
+    val indexers = cats.map { c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}__idx")
+        .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
+    }
+    val numeric = df.columns.filterNot(c => c == labelColumn || cats.contains(c))
+    val features = numeric ++ cats.map(c => s"${c}__idx")
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("keep") // nulls → NaN; trees route them (CatBoost parity)
+    val gbt = new GBTClassifier()
+      .setLabelCol(labelColumn).setFeaturesCol("features")
+      .setMaxIter(params.maxIter).setStepSize(params.stepSize)
+      .setMaxDepth(params.maxDepth).setSeed(params.seed)
+      .setProbabilityCol("probability").setPredictionCol("prediction")
+    new Pipeline().setStages((indexers :+ assembler :+ gbt).toArray)
+  }
+
+  def fit(train: DataFrame, labelColumn: String, params: TrainParams = TrainParams()): PipelineModel =
+    pipeline(train, labelColumn, params).fit(train)
+
+  /** Stratified 80/20 split (reference SP1: 02_model_training.py:264-267,
+    * stratify=y, seed 42). `sampleBy` draws the train fraction per class;
+    * the test side is the complement (left-anti on a row id). Proportions
+    * and determinism-per-partitioning are the contract — exact row identity
+    * with sklearn's permutation is not reproducible (SURVEY.md §7.5 risk 1).
+    */
+  def stratifiedSplit(df: DataFrame, labelColumn: String, trainFraction: Double = 0.8,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val withId = df.withColumn("__row_id", monotonically_increasing_id()).cache()
+    val classes = withId.select(labelColumn).distinct().collect().map(_.get(0))
+    val fractions = classes.map(c => c -> trainFraction).toMap
+    val train = withId.stat.sampleBy(labelColumn, fractions, seed)
+    val test = withId.join(train.select("__row_id"), Seq("__row_id"), "left_anti")
+    (train.drop("__row_id"), test.drop("__row_id"))
+  }
+
+  /** Feature importances zipped with feature names (reference M4:
+    * 02_model_training.py:462-465). */
+  def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
+    val gbt = model.stages.last.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    val assembler = model.stages.collectFirst { case v: VectorAssembler => v }.get
+    assembler.getInputCols.toSeq.zip(gbt.featureImportances.toArray.toSeq)
+      .sortBy { case (_, imp) => -imp }
+  }
+}

@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator inventory (SURVEY.md §7.3) — scans, filters, joins,
+  * aggregations, windows, set ops, scalar functions — each expressed as a
+  * declarative DataFrame plan so Catalyst handles pushdown, pruning, join
+  * strategy and AQE re-planning.
+  *
+  * Oracle-parity convention: any aggregation over double "money" columns
+  * first casts to DECIMAL(18,2) (the data is exactly 2-decimal — FIXTURES.md)
+  * so sums are exact and therefore independent of partitioning/accumulation
+  * order; the final value is cast back to double. Averages are computed as
+  * exact-decimal-sum (cast to double) divided by count — a single IEEE
+  * division that matches DuckDB bit-for-bit. Every query ends in a total
+  * deterministic ORDER BY.
+  */
+object Relational {
+
+  /** Exact 2-decimal view of a money/quantity double column. */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** l_extendedprice * (1 - l_discount) as an exact DECIMAL(18,4). */
+  private def discPrice(df: DataFrame) =
+    (dec2(df("l_extendedprice")) * (lit(1) - dec2(df("l_discount")))).cast(DecimalType(18, 4))
+
+  /** TPC-H Q1 shape: multi-function hash aggregation with group keys.
+    * Partial (map-side) aggregation + final merge — 2-phase, shuffle only
+    * carries one row per (flag,status) per partition. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val charge = (discPrice(lineitem) * (lit(1) + dec2(lineitem("l_tax")))).cast(DecimalType(18, 6))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice(lineitem)).cast(DoubleType).as("sum_disc_price"),
+        sum(charge).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Selective predicate scan + projection: filters and the 5-column read
+    * schema are pushed into the parquet scan. */
+  def filterScan(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q6 shape: fully-pushed selective aggregate, no shuffle beyond the
+    * final single-row merge. */
+  def selectiveRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q3 shape: selective fact-dim join (dim side broadcast by
+    * Catalyst), aggregation, top-k. */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice(lineitem)).cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** Left outer join against a pre-aggregated side: per-customer order stats,
+    * customers without orders kept with nulls. */
+  def customerOrderStats(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total_spent"))
+    customer
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .join(perCust, Seq("c_custkey"), "left")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one 'F' order. */
+  def customersWithFinishedOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Left-anti join (NOT EXISTS): customers with no 'P' order. */
+  def customersWithoutPendingOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Distinct aggregation: per-segment stats with COUNT(DISTINCT). */
+  def segmentStats(customer: DataFrame): DataFrame =
+    customer
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        sum(dec2(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+      .withColumn("avg_acctbal", col("sum_acctbal") / col("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** ROLLUP over the region→nation hierarchy: subtotals + grand total.
+    * Spark plans rollup as a single Expand + hash aggregate. */
+  def revenueRollup(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Ranking window: first 3 orders per customer by date, plus the previous
+    * order's price (lag) — partitioned window, deterministic tie-break. */
+  def firstOrdersPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "rn", "prev_price")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Sliding-frame window: 3-row moving sum/avg of quantity per supplier.
+    * Sum over an exact decimal is accumulation-order independent, so the
+    * frame aggregation is engine-portable; the average is derived by one
+    * IEEE division. */
+  def movingQuantity(lineitem: DataFrame): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem, so
+    // both the frame ordering and the output ordering carry extra columns to
+    // stay total — otherwise the moving sum itself is nondeterministic.
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(-2, 0)
+    lineitem
+      .withColumn("qty_3sum", sum(dec2(col("l_quantity"))).over(w).cast(DoubleType))
+      .withColumn("qty_3n", count(lit(1)).over(w))
+      .withColumn("qty_3avg", col("qty_3sum") / col("qty_3n"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "qty_3sum", "qty_3avg")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "qty_3sum", "qty_3avg")
+  }
+
+  /** Global top-k: total sort is avoided — Spark plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition top-k, then merge of k·P rows). */
+  def topOrders(orders: DataFrame): DataFrame =
+    orders
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  /** Set ops: symmetric difference of the customer-key sets of 'O' vs 'F'
+    * orders ((A EXCEPT B) UNION (B EXCEPT A)). */
+  def exclusiveStatusCustomers(orders: DataFrame): DataFrame = {
+    val a = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    val b = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    a.except(b).union(b.except(a)).orderBy("o_custkey")
+  }
+
+  /** Set ops: INTERSECT of the same two key sets. */
+  def sharedStatusCustomers(orders: DataFrame): DataFrame = {
+    val a = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    a.intersect(b).orderBy("o_custkey")
+  }
+
+  /** Scalar-function mix: date parts/truncation, string ops, exact decimal
+    * math — all codegen'd builtins, no UDFs. */
+  def scalarShowcase(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      dayofmonth(col("o_orderdate")).as("order_day"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      upper(col("o_orderpriority")).as("priority_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("priority_code"),
+      concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
+      length(col("o_orderpriority")).as("priority_len"),
+      (dec2(col("o_totalprice")) * lit(BigDecimal("1.1")).cast(DecimalType(3, 1)))
+        .cast(DecimalType(18, 3)).cast(DoubleType).as("price_with_tax"),
+      abs(dec2(col("o_totalprice")) - lit(200000)).cast(DoubleType).as("price_dev"))
+    .orderBy("o_orderkey")
+
+  /** A genuinely large shuffle join (fact ⋈ fact): orders ⋈ lineitem with
+    * aggregation on the joined result. At scale this is the sort-merge /
+    * shuffled-hash path AQE tunes; keys are co-partitioned by the shuffle. */
+  def orderLineRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(discPrice(lineitem)).cast(DoubleType).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+}

@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2.11 X5 +
+  * build-target extensions): per-language corpus stats, per-document token
+  * stats, quality scoring, content fingerprinting, and a data-driven
+  * language identifier. Everything is built from codegen'd builtins and
+  * higher-order array functions — no Scala UDFs on the hot path, so plans
+  * stay inside whole-stage codegen and scale linearly.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer as a Column expression. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Corpus stats per language: doc count, char totals/averages, word
+    * totals, distinct sources. One hash aggregation. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(tokens(col("text")))).as("total_words"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
+      .orderBy("lang")
+
+  /** Per-document token stats: counts, distinct counts, longest token. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      array_max(transform(toks, t => length(t))).as("max_token_len"),
+      length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length band, stopword ratio, lexical diversity — the
+    * standard cheap filters applied before expensive pipeline stages. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stops = array(StopWords.map(lit): _*)
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      size(toks).as("n_words"),
+      size(filter(toks, t => array_contains(stops, t))).as("n_stopwords"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_words"))
+      .withColumn("length_ok", col("n_words") >= 10 && col("n_words") <= 10000)
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprints: full SHA-256 plus a prefix SHA-256 (first 64
+    * chars) — join keys for exact dedup and cheap prefix-level blocking.
+    * (A 64-bit xxHash variant lives in [[simHash]]'s token hashing.) */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      sha2(col("text"), 256).as("sha256_hex"),
+      sha2(substring(col("text"), 1, 64), 256).as("prefix_sha256"))
+      .orderBy("doc_id")
+
+  /** 64-bit SimHash per document: hash every token with xxhash64, then for
+    * each of 64 bit positions take the sign of Σ(±1). Near-duplicate texts
+    * land within small Hamming distance. Implemented as explode → 64 partial
+    * sums → bit reassembly: one shuffle keyed by doc_id, no UDF state.
+    */
+  def simHash(documents: DataFrame): DataFrame = {
+    val tokenHashes = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tokenHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup candidate pairs within Hamming distance `maxHamming`.
+    * Blocking: split the 64-bit hash into 4 × 16-bit bands — any pair within
+    * Hamming ≤ 3 shares at least one exact band (pigeonhole), so the
+    * candidate join is a cheap equi-join per band, never a cross join. */
+  def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(documents).cache()
+    val bands = (0 until 4).map { b =>
+      sh.select(
+        col("doc_id"),
+        col("simhash"),
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("band_val"))
+    }.reduce(_ union _)
+    val a = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Data-driven language identification: build per-language token profiles
+    * (the top-N most frequent tokens per language by document frequency),
+    * then score each document by profile overlap and predict the argmax.
+    *
+    * The profile is bounded (languages × N tokens) so it broadcasts; scoring
+    * is an explode + broadcast join + argmax — no driver-side loops over
+    * data rows. `labelled` provides the training corpus (here the same
+    * table; in production a held-out labelled set).
+    */
+  def languageId(documents: DataFrame, labelled: DataFrame, topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokenFreq = labelled
+      .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(desc("df"), col("tok"))
+    val profile = tokenFreq
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("lang").as("profile_lang"), col("tok"), (lit(1.0) / col("rank")).as("weight"))
+    val docTokens = documents.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val scored = docTokens
+      .join(broadcast(profile), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(sum(col("weight")).as("score"))
+    val pick = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("profile_lang"))
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("lang").as("actual_lang"),
+        col("profile_lang").as("predicted_lang"),
+        (col("lang") === col("profile_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.fs.{FeatureStore, PrimaryKeyViolation}
+import graft.ingest.CsvIngest
+
+class FeatureStoreSpec extends SparkSpec {
+
+  private lazy val base = Files.createTempDirectory("graft_fs").toString
+  private lazy val store = new FeatureStore(spark, base)
+
+  test("createTable registers a primary-keyed table and readTable round-trips") {
+    val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
+    val ft = store.createTable("customer_features", Seq("customer_id"), df,
+      "Customer purchase features")
+    assert(ft.primaryKeys == Seq("customer_id"))
+    val back = store.readTable("customer_features")
+    assert(back.count() == 100)
+    assert(back.columns.toSet == Set("customer_id", "total_purchase_7d", "total_purchase_30d"))
+  }
+
+  test("createTable rejects duplicate primary keys") {
+    import spark.implicits._
+    val dup = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v")
+    intercept[PrimaryKeyViolation] {
+      store.createTable("dup_table", Seq("id"), dup)
+    }
+  }
+
+  test("createTable rejects null primary keys") {
+    import spark.implicits._
+    val withNull = Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
+    intercept[PrimaryKeyViolation] {
+      store.createTable("null_pk_table", Seq("id"), withNull)
+    }
+  }
+
+  test("createTable validates PK column presence") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      store.createTable("bad_pk", Seq("nope"), df)
+    }
+  }
+
+  test("dropTable is idempotent and removes data") {
+    import spark.implicits._
+    store.createTable("tmp_table", Seq("id"), Seq((1, "x")).toDF("id", "v"))
+    store.dropTable("tmp_table")
+    store.dropTable("tmp_table") // second call: no-op
+    assert(!store.tableExists("tmp_table"))
+  }
+
+  test("metadata sidecar lets a fresh store re-attach PK info") {
+    val df = CsvIngest.readInferred(spark, refData("product_features.csv"))
+    store.createTable("product_features", Seq("product_id"), df, "Product features")
+    val fresh = new FeatureStore(spark, base)
+    val ft = fresh.getTable("product_features")
+    assert(ft.primaryKeys == Seq("product_id"))
+    assert(fresh.readTable("product_features").count() == 50)
+  }
+
+  test("CSV schema inference matches the reference expectation") {
+    val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("customer_id") == "int")
+    assert(types("total_purchase_7d") == "double")
+    assert(types("total_purchase_30d") == "double")
+  }
+
+  test("requireNonEmpty and requireColumns guard ingestion") {
+    val df = CsvIngest.readInferred(spark, refData("training_labels.csv"))
+    CsvIngest.requireNonEmpty(df, "labels")
+    CsvIngest.requireColumns(df, Seq("customer_id", "product_id", "purchased"), "labels")
+    intercept[IllegalArgumentException] {
+      CsvIngest.requireColumns(df, Seq("missing_col"), "labels")
+    }
+    assert(df.filter(col("purchased") === 1).count() == 293)
+    assert(df.filter(col("purchased") === 0).count() == 207)
+  }
+}

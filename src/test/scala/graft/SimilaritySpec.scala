@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embeddings = Tables.embeddings(spark, sf).cache()
+
+  /** Driver-side exact cosine for cross-checking the distributed op. */
+  private def localTopK(k: Int): Seq[(Long, Double)] = {
+    val rows = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.filter(_._1 != 0L).map { case (id, v) => id -> cos(v, q) }
+      .sortBy { case (id, s) => (-math.rint(s * 1e6) / 1e6, id) }.take(k).toSeq
+      .map { case (id, s) => id -> math.rint(s * 1e6) / 1e6 }
+  }
+
+  test("brute-force cosine top-k matches a driver-side computation") {
+    val got = Similarity.bruteForceTopK(embeddings, 0, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine_sim"))).toSeq
+    val want = localTopK(10)
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = embeddings.limit(5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("LSH top-k returns k well-formed rows with decent recall") {
+    val exact = localTopK(10).map(_._1).toSet
+    val approx = Similarity.lshTopK(embeddings, 0, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(approx.size == 10)
+    // Random-projection LSH on 64-dim unit vectors: expect meaningful overlap.
+    assert((exact & approx).size >= 3, s"recall too low: ${(exact & approx).size}/10")
+  }
+
+  test("IVF probes a subset of cells and finds near-exact neighbors") {
+    val index = Similarity.buildIvf(embeddings, nlist = 8)
+    assert(index.centroids.length == 8)
+    val got = Similarity.ivfTopK(index, 0, 10, nprobe = 8).collect() // nprobe=nlist => exact
+    val want = localTopK(10).map(_._1)
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == want)
+    val partial = Similarity.ivfTopK(index, 0, 10, nprobe = 2).collect()
+    assert(partial.length == 10)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.cosineNearDupPairs(embeddings, minCosine = 0.5).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cosine_sim") >= 0.5 - 1e-9)
+    }
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites: local[4], shuffle=4, UTC — matches the
+  * driver harness pinning (SURVEY.md §7.5 risk 1). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-test")
+    .getOrCreate()
+
+  lazy val sf: String = "/root/testdata/sf0.001"
+
+  def refData(file: String): String = s"/root/reference/data/$file"
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("token stats match a manual computation") {
+    val first = docs.orderBy("doc_id").select("doc_id", "text").head()
+    val text = first.getString(1)
+    val row = TextOps.tokenStats(docs).filter(col("doc_id") === first.getLong(0)).head()
+    assert(row.getAs[Int]("n_tokens") == text.split(" ").length)
+    assert(row.getAs[Int]("n_distinct_tokens") == text.split(" ").distinct.length)
+    assert(row.getAs[Int]("max_token_len") == text.split(" ").map(_.length).max)
+    assert(row.getAs[Int]("text_len") == text.length)
+  }
+
+  test("corpus stats cover all languages with consistent counts") {
+    val stats = TextOps.corpusStats(docs).collect()
+    assert(stats.map(_.getAs[String]("lang")).toSet == Set("en", "de", "fr", "es", "zh"))
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
+  test("quality score: stopword ratio in [0,1], length flag consistent") {
+    TextOps.qualityScore(docs).collect().foreach { r =>
+      val ratio = r.getAs[Double]("stopword_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Boolean]("length_ok") ==
+        (r.getAs[Int]("n_words") >= 10 && r.getAs[Int]("n_words") <= 10000))
+    }
+  }
+
+  test("fingerprints: identical text => identical hash, distinct => distinct") {
+    val fp = TextOps.fingerprints(
+      Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")).collect()
+    assert(fp(0).getString(1) == fp(1).getString(1))
+    assert(fp(0).getString(1) != fp(2).getString(1))
+  }
+
+  test("simhash: identical texts hash identically; near texts are close") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val hashes = TextOps.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(3L)) < hamming(hashes(1L), hashes(4L)))
+  }
+
+  test("simhash near-dups finds identical pair at distance 0") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words entirely different content here now")).toDF("doc_id", "text")
+    val pairs = TextOps.simHashNearDups(d, maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("language id predicts the training language for most documents") {
+    val out = TextOps.languageId(docs, docs)
+    val total = out.count()
+    assert(total == docs.count())
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.fs.{FeatureLookup, FeatureStore, LookupHint, TrainingSet}
+import graft.ingest.CsvIngest
+import graft.ml.{Metrics, ScoringModel, Trainer}
+
+/** End-to-end reference pipeline: create tables → training set → stratified
+  * split → GBT train → metrics → batch scoring with automated lookups
+  * (SURVEY.md §5 item 4). Iterations reduced from the reference's 100 to
+  * keep the suite fast — the hyperparameter surface is covered by
+  * TrainParams defaults. */
+class TrainerSpec extends SparkSpec {
+
+  private lazy val base = Files.createTempDirectory("graft_ml").toString
+  private lazy val store = new FeatureStore(spark, base)
+
+  private lazy val lookups = Seq(
+    FeatureLookup("customer_features", Seq("total_purchase_7d", "total_purchase_30d"),
+      "customer_id", hint = LookupHint.Broadcast),
+    FeatureLookup("product_features", Seq("category"),
+      "product_id", hint = LookupHint.Broadcast))
+
+  private lazy val trainingDf = {
+    store.createTable("customer_features", Seq("customer_id"),
+      CsvIngest.readInferred(spark, refData("customer_features.csv")))
+    store.createTable("product_features", Seq("product_id"),
+      CsvIngest.readInferred(spark, refData("product_features.csv")))
+    val labels = CsvIngest.readInferred(spark, refData("training_labels.csv"))
+    TrainingSet.fromStore(store, labels, lookups,
+      labelColumn = Some("purchased"),
+      excludeColumns = Seq("customer_id", "product_id")).loadDf.cache()
+  }
+
+  private lazy val model =
+    Trainer.fit(trainingDf, "purchased", Trainer.TrainParams(maxIter = 20))
+
+  test("default hyperparameters mirror the reference (100/0.1/6/42)") {
+    val p = Trainer.TrainParams()
+    assert(p.maxIter == 100 && p.stepSize == 0.1 && p.maxDepth == 6 && p.seed == 42L)
+  }
+
+  test("categorical columns discovered from schema") {
+    assert(Trainer.categoricalColumns(trainingDf, "purchased") == Seq("category"))
+  }
+
+  test("stratified split preserves proportions and partitions the data") {
+    val (train, test) = Trainer.stratifiedSplit(trainingDf, "purchased")
+    val total = trainingDf.count()
+    assert(train.count() + test.count() == total)
+    val trainFrac = train.count().toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac outside [0.7,0.9]")
+    // Stratification: positive rate similar in both splits.
+    def posRate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("purchased") === 1).count().toDouble / df.count()
+    assert(math.abs(posRate(train) - posRate(test)) < 0.12)
+  }
+
+  test("GBT trains, scores, and yields sane metrics") {
+    val scored = model.transform(trainingDf)
+    assert(scored.columns.contains("prediction") && scored.columns.contains("probability"))
+    val m = Metrics.evaluate(scored, "purchased")
+    for (v <- Seq(m.accuracy, m.weightedPrecision, m.weightedRecall, m.weightedF1, m.areaUnderROC))
+      assert(v >= 0.0 && v <= 1.0)
+    assert(m.areaUnderROC > 0.5, s"AUC ${m.areaUnderROC} not better than random on train data")
+  }
+
+  test("confusion matrix covers the scored rows") {
+    val cm = Metrics.confusionMatrix(model.transform(trainingDf), "purchased")
+    assert(cm.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 500)
+  }
+
+  test("feature importances are named and sum to ~1") {
+    val imps = Trainer.featureImportances(model)
+    assert(imps.map(_._1).toSet ==
+      Set("on_sales", "total_purchase_7d", "total_purchase_30d", "category__idx"))
+    assert(math.abs(imps.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("scoreBatch enriches key-only inference rows and save/load round-trips") {
+    val scoring = ScoringModel(model, lookups)
+    val inference = CsvIngest.readInferred(spark, refData("inference_data.csv"))
+    val scored = scoring.scoreBatch(store, inference)
+    assert(scored.count() == 10)
+    assert(scored.columns.contains("prediction"))
+
+    val path = s"$base/saved_model"
+    scoring.save(path)
+    val loaded = ScoringModel.load(spark, path)
+    assert(loaded.lookups == lookups.map(lk => lk.copy(tableKeyOpt = Some(lk.tableKey), hint = LookupHint.Auto)))
+    val rescored = loaded.scoreBatch(store, inference)
+    assert(rescored.select("prediction").collect().toSeq ==
+      scored.select("prediction").collect().toSeq)
+  }
+}
