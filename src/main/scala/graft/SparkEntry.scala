@@ -96,8 +96,10 @@ object SparkEntry {
     "q33_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0, 20)),
     "q34_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Similarity.buildIvf(Tables.embeddings(s, d)), 0, 20)),
+    // 0.4 is the regime where the synthetic corpus actually has near-dups
+    // (max pairwise cosine ≈ 0.5 at sf0.01) — higher thresholds are vacuous.
     "q35_embedding_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.8)),
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
     "q36_lang_id" -> ((s, d) =>
       TextOps.languageId(Tables.documents(s, d), Tables.documents(s, d))),
     "q37_multimodal_features" -> ((s, d) =>
@@ -330,7 +332,7 @@ object SparkEntry {
         |  SELECT sh.doc_id, sh.sh FROM sh
         |  JOIN df ON sh.sh = df.s CROSS JOIN total
         |  WHERE df.df <= CAST(floor(total.n * 0.5) AS BIGINT)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         |  FROM filtered a JOIN filtered b ON a.sh = b.sh

@@ -2,8 +2,11 @@ package graft.ml
 
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s.{DefaultFormats, Formats, JArray, JObject, JValue}
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
 
-import graft.fs.{FeatureLookup, FeatureStore, TrainingSet}
+import graft.fs.{FeatureLookup, FeatureStore, LookupHint, TrainingSet}
 
 /** Batch scoring with automated feature enrichment — the reference's
   * `score_batch` semantics (implied by fs.log_model packaging the training
@@ -25,21 +28,40 @@ final case class ScoringModel(model: PipelineModel, lookups: Seq[FeatureLookup])
     model.transform(enriched)
   }
 
+  /** Lossless lookup persistence (hint and renames included) with a real
+    * JSON writer — names containing quotes/commas survive the round-trip. */
   def save(path: String): Unit = {
     model.write.overwrite().save(s"$path/model")
-    val json = lookups.map { lk =>
-      s"""{"tableName":"${lk.tableName}","featureNames":[${lk.featureNames.map(f => s""""$f"""").mkString(",")}],
-         |"lookupKey":"${lk.lookupKey}","tableKey":"${lk.tableKey}"}""".stripMargin.replace("\n", "")
-    }.mkString("[", ",", "]")
+    val json: JValue = JArray(lookups.map { lk =>
+      ("tableName" -> lk.tableName) ~
+        ("featureNames" -> lk.featureNames) ~
+        ("lookupKey" -> lk.lookupKey) ~
+        ("tableKey" -> lk.tableKey) ~
+        ("hint" -> ScoringModel.hintName(lk.hint)) ~
+        ("renames" -> lk.renames)
+    }.toList)
     val p = new org.apache.hadoop.fs.Path(s"$path/lookups.json")
     val fs = p.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    out.write(json.getBytes("UTF-8")); out.close()
+    out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
+    out.close()
   }
 }
 
 object ScoringModel {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private[ml] def hintName(h: LookupHint): String = h match {
+    case LookupHint.Broadcast => "broadcast"
+    case LookupHint.Auto      => "auto"
+  }
+
+  private def hintOf(name: String): LookupHint = name match {
+    case "broadcast" => LookupHint.Broadcast
+    case _           => LookupHint.Auto
+  }
 
   def load(spark: SparkSession, path: String): ScoringModel = {
     val model = PipelineModel.load(s"$path/model")
@@ -47,12 +69,18 @@ object ScoringModel {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lookups = """\{"tableName":"(.*?)","featureNames":\[(.*?)\],"lookupKey":"(.*?)","tableKey":"(.*?)"\}""".r
-      .findAllMatchIn(raw).map { m =>
-        FeatureLookup(m.group(1),
-          m.group(2).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq,
-          m.group(3), Some(m.group(4)))
-      }.toSeq
+    val lookups = JsonMethods.parse(raw) match {
+      case JArray(items) => items.collect { case o: JObject =>
+        FeatureLookup(
+          (o \ "tableName").extract[String],
+          (o \ "featureNames").extract[Seq[String]],
+          (o \ "lookupKey").extract[String],
+          Some((o \ "tableKey").extract[String]),
+          hintOf((o \ "hint").extract[String]),
+          (o \ "renames").extract[Map[String, String]])
+      }
+      case other => sys.error(s"lookups.json: expected a JSON array, got $other")
+    }
     ScoringModel(model, lookups)
   }
 }

@@ -54,21 +54,35 @@ object Trainer {
   def fit(train: DataFrame, labelColumn: String, params: TrainParams = TrainParams()): PipelineModel =
     pipeline(train, labelColumn, params).fit(train)
 
+  /** Label histogram (reference A2: 02_model_training.py:260-261 —
+    * `value_counts` driving the stratification decision). One hash agg. */
+  def labelHistogram(df: DataFrame, labelColumn: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(labelColumn)).agg(count(lit(1)).as("n")).orderBy(col(labelColumn))
+  }
+
   /** Stratified 80/20 split (reference SP1: 02_model_training.py:264-267,
-    * stratify=y, seed 42). `sampleBy` draws the train fraction per class;
-    * the test side is the complement (left-anti on a row id). Proportions
-    * and determinism-per-partitioning are the contract — exact row identity
-    * with sklearn's permutation is not reproducible (SURVEY.md §7.5 risk 1).
+    * stratify=y, seed 42), assigned by a salted content hash:
+    * `xxhash64(all columns, seed) mod 10000 < 8000`.
+    *
+    * Deterministic and partition-independent — the same data produces the
+    * same split on any cluster layout (contrast `sampleBy`/`randomSplit`,
+    * whose Bernoulli draw depends on partition iteration order). Fully
+    * parallel: one narrow pass, no window, no shuffle — a 100 TB frame
+    * splits at scan speed. Within each class the hash is uniform, so class
+    * proportions match `trainFraction` with binomial O(1/√n_class) error —
+    * exact enough at any real scale; sklearn's exact permutation parity is
+    * not reproducible and not the contract (SURVEY.md §7.5 risk 1).
+    * Duplicate rows hash identically and travel together (split remains a
+    * partition of the multiset because filter and its negation are exact
+    * complements).
     */
   def stratifiedSplit(df: DataFrame, labelColumn: String, trainFraction: Double = 0.8,
       seed: Long = 42L): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.monotonically_increasing_id
-    val withId = df.withColumn("__row_id", monotonically_increasing_id()).cache()
-    val classes = withId.select(labelColumn).distinct().collect().map(_.get(0))
-    val fractions = classes.map(c => c -> trainFraction).toMap
-    val train = withId.stat.sampleBy(labelColumn, fractions, seed)
-    val test = withId.join(train.select("__row_id"), Seq("__row_id"), "left_anti")
-    (train.drop("__row_id"), test.drop("__row_id"))
+    import org.apache.spark.sql.functions._
+    val bucket = pmod(xxhash64((df.columns.map(col) :+ lit(seed)): _*), lit(10000L))
+    val isTrain = bucket < lit(math.round(trainFraction * 10000))
+    (df.filter(isTrain), df.filter(!isTrain))
   }
 
   /** Feature importances zipped with feature names (reference M4:

@@ -55,12 +55,17 @@ object Similarity {
   }
 
   /** L2-normalized copy of the embedding column (unit vectors make euclidean
-    * distance a monotone proxy for cosine: d² = 2 − 2·cos). */
+    * distance a monotone proxy for cosine: d² = 2 − 2·cos). The norm is
+    * materialized once per row first — inlining it in the transform lambda
+    * would re-run the d-element aggregate for every element (O(d²)/row). */
   private def normalized(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("norm_vec",
-      array_to_vector(
-        transform(col("embedding").cast("array<double>"), x => x / l2norm(col("embedding")))
-          .cast("array<float>")))
+    embeddings
+      .withColumn("__nrm", l2norm(col("embedding")))
+      .withColumn("norm_vec",
+        array_to_vector(
+          transform(col("embedding").cast("array<double>"), x => x / col("__nrm"))
+            .cast("array<float>")))
+      .drop("__nrm")
 
   /** Approximate NN via random-hyperplane bucketing
     * (BucketedRandomProjectionLSH over unit vectors): candidates come from
@@ -122,9 +127,16 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH similarity self-join:
     * pairs with cosine ≥ `minCosine`, candidates generated from shared LSH
-    * buckets (equi-join), never a cross join. */
+    * buckets (equi-join), never a cross join.
+    *
+    * `bucketLength` is calibrated to unit vectors: projections of unit
+    * d-vectors onto a random direction have std ≈ 1/√d (≈0.125 at d=64), so
+    * 0.1 yields ~10 populated buckets per table — buckets genuinely
+    * partition the corpus (0.5 would put nearly everything in 2-3 buckets
+    * and degenerate the in-bucket join toward all-pairs). More hash tables
+    * buy recall at linear candidate cost. */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.95,
-      bucketLength: Double = 0.5, numHashTables: Int = 4): DataFrame = {
+      bucketLength: Double = 0.1, numHashTables: Int = 8): DataFrame = {
     val maxDist = math.sqrt(2.0 - 2.0 * minCosine)
     val normed = normalized(embeddings)
     val lsh = new BucketedRandomProjectionLSH()

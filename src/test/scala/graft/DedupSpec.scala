@@ -8,18 +8,23 @@ class DedupSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** Corpus with one exact dup pair and one near-dup pair. */
+  /** Corpus with one exact dup pair and one near-dup pair. Seven docs so the
+    * default 50% document-frequency stop-shingle filter (which on a real
+    * corpus only removes boilerplate) does not swallow the dup trio's
+    * shared shingles (df=3 ≤ ⌊7·0.5⌋). */
   private lazy val corpus = Seq(
     (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
     (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
     (2L, "the quick brown fox jumps over the lazy cat and runs far away home"),
     (3L, "completely different text about spark query engines and columnar scans"),
-    (4L, "another unrelated document mentioning feature stores and lookups only")
+    (4L, "another unrelated document mentioning feature stores and lookups only"),
+    (5L, "yet more filler prose covering benchmarks partitions shuffles and codegen"),
+    (6L, "final padding entry discussing parquet readers vectorization and pruning")
   ).toDF("doc_id", "text")
 
   test("exact dedup groups identical texts and keeps min doc_id") {
     val out = Dedup.exactDedup(corpus).collect()
-    assert(out.length == 4)
+    assert(out.length == 6)
     val dupRow = out.find(_.getAs[Long]("n_copies") == 2).get
     assert(dupRow.getAs[Long]("doc_id") == 0L)
   }
@@ -40,11 +45,32 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngram jaccard finds exact and near dups, not unrelated docs") {
-    val pairs = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.2)
-      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val rows = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.2).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 1L)))
-    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
-    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 3L || b >= 3L })
+    // Identical documents must score exactly 1.0 — the ratio is a true
+    // Jaccard of the filtered shingle sets (the round-1 bug scored them 0.16).
+    val exact = rows.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("ngram jaccard stop-shingle filter drops corpus-wide boilerplate only") {
+    // A shingle in >50% of docs carries no dedup signal: docs 7-9 share only
+    // the boilerplate prefix present in 5/7 docs, so they must NOT pair.
+    val boiler = Seq(
+      (0L, "standard header line alpha beta gamma delta"),
+      (1L, "standard header line alpha beta gamma delta"),
+      (2L, "standard header line epsilon zeta eta theta"),
+      (3L, "standard header line iota kappa lambda mu"),
+      (4L, "standard header line nu xi omicron pi"),
+      (5L, "unrelated filler vocabulary one two three four"),
+      (6L, "completely separate content five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(boiler, minJaccard = 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((0L, 1L))) // only the true dup pair survives
   }
 
   test("minhash pairs finds the exact dup; clustering collapses it") {
@@ -56,7 +82,7 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(byDoc(0L) == byDoc(1L))
     val reps = clusters.filter(col("is_representative")).count()
-    assert(reps < 5) // at least the 0/1 pair collapsed
+    assert(reps < 7) // at least the 0/1 pair collapsed
   }
 
   test("cluster propagation handles chains (a-b, b-c => one cluster)") {

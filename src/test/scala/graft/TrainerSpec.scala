@@ -90,9 +90,18 @@ class TrainerSpec extends SparkSpec {
     val path = s"$base/saved_model"
     scoring.save(path)
     val loaded = ScoringModel.load(spark, path)
-    assert(loaded.lookups == lookups.map(lk => lk.copy(tableKeyOpt = Some(lk.tableKey), hint = LookupHint.Auto)))
+    // Lossless round-trip: hint and renames survive (tableKey is stored
+    // resolved, so the Option is normalized to Some).
+    assert(loaded.lookups == lookups.map(lk => lk.copy(tableKeyOpt = Some(lk.tableKey))))
     val rescored = loaded.scoreBatch(store, inference)
     assert(rescored.select("prediction").collect().toSeq ==
       scored.select("prediction").collect().toSeq)
+
+    // Hostile metadata survives: renames, hints, quotes/commas in names.
+    val fancy = Seq(FeatureLookup("customer_features", Seq("total_purchase_7d"),
+      "customer_id", Some("customer_id"), LookupHint.Broadcast,
+      Map("total_purchase_7d" -> """p7d "quoted", comma""")))
+    ScoringModel(model, fancy).save(s"$base/saved_model_fancy")
+    assert(ScoringModel.load(spark, s"$base/saved_model_fancy").lookups == fancy)
   }
 }
