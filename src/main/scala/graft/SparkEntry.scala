@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
-import graft.fs.{FeatureLookup, LookupHint, TrainingSet}
+import graft.fs.{CatalogFeatureStore, FeatureLookup, LookupHint, TrainingSet}
 import graft.multimodal.Multimodal
-import graft.ops.{Events, Relational}
+import graft.ops.{Events, Relational, Validation}
 import graft.sim.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextOps
@@ -104,7 +104,25 @@ object SparkEntry {
       TextOps.languageId(Tables.documents(s, d), Tables.documents(s, d))),
     "q37_multimodal_features" -> ((s, d) =>
       Multimodal.mediaFeatureStats(s, Tables.documents(s, d))),
-    "q38_stream_tumbling" -> ((s, d) => EventStreams.tumblingHourlyStream(s, d)))
+    "q38_stream_tumbling" -> ((s, d) => EventStreams.tumblingHourlyStream(s, d)),
+    // -- validation / catalog parity (SURVEY §2.1 S6, §2.2 P5, §2.4 A2) ----
+    "q39_null_audit" -> ((s, d) =>
+      Validation.nullAudit(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+    "q40_label_histogram" -> ((s, d) =>
+      graft.ml.Trainer.labelHistogram(Tables.lineitem(s, d), "l_returnflag")),
+    // End-to-end catalog DDL: CREATE DATABASE + saveAsTable + spark.table —
+    // the reference's registration path (01_feature_table_creation.py:112).
+    "q41_catalog_roundtrip" -> ((s, d) => {
+      val store = new CatalogFeatureStore(s, "graft_sales",
+        Some(s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/graft_sales.db"))
+      store.createTable("customer_features_cat", Seq("c_custkey"), Tables.customer(s, d),
+        "catalog-registered customer dimension")
+      store.readTable("customer_features_cat")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -354,5 +372,18 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          |  COUNT(*) AS n_events,
          |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_null_audit" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+          s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, COUNT(*) AS n_rows FROM orders")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    "q40_label_histogram" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_catalog_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin)
 }

@@ -1,0 +1,90 @@
+package graft.fs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog-backed feature store — the reference's actual registration path
+  * (S6): `CREATE DATABASE IF NOT EXISTS sales`
+  * (notebooks/01_feature_table_creation.py:109-115) plus named tables read
+  * back through the catalog (`workspace.sales.customer_features`,
+  * notebooks/02_model_training.py:74,80).
+  *
+  * Tables are registered with `saveAsTable` and read via `spark.table`, so
+  * any session sharing the metastore resolves them by name — the contract
+  * every downstream user of the reference relies on. PK and description
+  * metadata ride as table properties (`graft.primaryKeys`,
+  * `graft.description`).
+  *
+  * Format note: the reference materializes feature tables as Delta; this
+  * sandbox has no Delta jars (offline), so tables are parquet — swapping
+  * `format("parquet")` for `format("delta")` is the only change needed on a
+  * Delta-enabled cluster (see README "Deviations").
+  */
+final class CatalogFeatureStore(
+    spark: SparkSession,
+    val database: String,
+    location: Option[String] = None) extends FeatureResolver {
+
+  locally {
+    val loc = location.map(l => s" LOCATION '${l.replace("'", "''")}'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database$loc")
+  }
+
+  private def fullName(name: String) = s"$database.$name"
+
+  /** The database's physical location (resolved once from the catalog). */
+  private lazy val databaseLocation: String =
+    spark.sql(s"DESCRIBE DATABASE $database")
+      .collect()
+      .collectFirst { case r if r.getString(0) == "Location" => r.getString(1) }
+      .getOrElse(sys.error(s"DESCRIBE DATABASE $database returned no Location"))
+
+  /** Register `df` as `database.name` with the same PK contract as the
+    * path-backed store (uniqueness enforced distributed, at write time).
+    * Overwrite-idempotent across sessions: a non-persistent metastore (the
+    * local in-memory catalog) forgets tables between sessions while their
+    * files remain, so any orphaned location is cleared before the write. */
+  def createTable(
+      name: String,
+      primaryKeys: Seq[String],
+      df: DataFrame,
+      description: String = "",
+      enforcePrimaryKey: Boolean = true): FeatureTable = {
+    FeatureStore.validatePrimaryKeys(name, primaryKeys, df, enforcePrimaryKey)
+    if (!tableExists(name)) {
+      val orphan = new org.apache.hadoop.fs.Path(s"$databaseLocation/$name")
+      val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(orphan)) { fs.delete(orphan, true); () }
+    }
+    df.write.mode("overwrite").format("parquet").saveAsTable(fullName(name))
+    spark.sql(
+      s"""ALTER TABLE ${fullName(name)} SET TBLPROPERTIES (
+         |  'graft.primaryKeys' = '${primaryKeys.mkString(",")}',
+         |  'graft.description' = '${description.replace("'", "''")}')""".stripMargin)
+    FeatureTable(name, primaryKeys, description, df.schema, fullName(name))
+  }
+
+  /** Read a registered table by name (reference: 02_model_training.py:145). */
+  override def readTable(name: String): DataFrame = spark.table(fullName(name))
+
+  /** Re-hydrate table metadata from catalog properties. */
+  def getTable(name: String): FeatureTable = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${fullName(name)}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    FeatureTable(
+      name,
+      props.get("graft.primaryKeys").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      props.getOrElse("graft.description", ""),
+      readTable(name).schema,
+      fullName(name))
+  }
+
+  def tableExists(name: String): Boolean = spark.catalog.tableExists(fullName(name))
+
+  /** Idempotent drop (reference: 01_feature_table_creation.py:153-160). */
+  def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${fullName(name)}"); ()
+  }
+
+  def listTables(): Seq[String] =
+    spark.catalog.listTables(database).collect().map(_.name).toSeq.sorted
+}

@@ -26,7 +26,7 @@ final class PrimaryKeyViolation(msg: String) extends RuntimeException(msg)
   * Partition columns: pass `partitionBy` for tables that will be pruned by
   * a hot predicate column at scale (e.g. ingest date).
   */
-final class FeatureStore(spark: SparkSession, val basePath: String) {
+final class FeatureStore(spark: SparkSession, val basePath: String) extends FeatureResolver {
 
   private val registry = TrieMap.empty[String, FeatureTable]
 
@@ -49,24 +49,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String) {
       description: String = "",
       partitionBy: Seq[String] = Nil,
       enforcePrimaryKey: Boolean = true): FeatureTable = {
-    require(primaryKeys.nonEmpty, s"feature table $name needs >=1 primary key column")
-    val missing = primaryKeys.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"primary key columns not in dataframe: ${missing.mkString(", ")}")
-
-    if (enforcePrimaryKey) {
-      // Single distributed agg job: any key tuple appearing twice (or with a
-      // null component) breaks the N:1 lookup contract.
-      val keyCols = primaryKeys.map(col)
-      val dup = df
-        .groupBy(keyCols: _*)
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1 || primaryKeys.map(col(_).isNull).reduce(_ || _))
-        .limit(1)
-        .count()
-      if (dup > 0)
-        throw new PrimaryKeyViolation(
-          s"table $name: duplicate or null primary key (${primaryKeys.mkString(",")})")
-    }
+    FeatureStore.validatePrimaryKeys(name, primaryKeys, df, enforcePrimaryKey)
 
     val path = tablePath(name)
     val writer = df.write.mode("overwrite")
@@ -79,7 +62,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String) {
   }
 
   /** Read a registered table (reference: 02_model_training.py:145). */
-  def readTable(name: String): DataFrame =
+  override def readTable(name: String): DataFrame =
     spark.read.parquet(getTable(name).path)
 
   def getTable(name: String): FeatureTable =
@@ -133,4 +116,34 @@ final class FeatureStore(spark: SparkSession, val basePath: String) {
 
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+}
+
+object FeatureStore {
+
+  /** Shared PK contract check (used by the path-backed and catalog-backed
+    * stores). Validates column presence (reference:
+    * 01_feature_table_creation.py:172-174), then — unless disabled — runs
+    * one distributed agg job: any key tuple appearing twice or carrying a
+    * null breaks the N:1 lookup contract (SURVEY.md §7.5 risk 5). */
+  private[fs] def validatePrimaryKeys(
+      name: String,
+      primaryKeys: Seq[String],
+      df: DataFrame,
+      enforce: Boolean): Unit = {
+    require(primaryKeys.nonEmpty, s"feature table $name needs >=1 primary key column")
+    val missing = primaryKeys.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"primary key columns not in dataframe: ${missing.mkString(", ")}")
+    if (enforce) {
+      val keyCols = primaryKeys.map(col)
+      val dup = df
+        .groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 || primaryKeys.map(col(_).isNull).reduce(_ || _))
+        .limit(1)
+        .count()
+      if (dup > 0)
+        throw new PrimaryKeyViolation(
+          s"table $name: duplicate or null primary key (${primaryKeys.mkString(",")})")
+    }
+  }
 }

@@ -46,7 +46,7 @@ object TrainingSet {
     * by name (reference: create_training_set resolves table names through the
     * FS catalog the same way). */
   def fromStore(
-      store: FeatureStore,
+      store: FeatureResolver,
       labels: DataFrame,
       lookups: Seq[FeatureLookup],
       labelColumn: Option[String] = None,

@@ -6,7 +6,7 @@ import org.json4s.{DefaultFormats, Formats, JArray, JObject, JValue}
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 
-import graft.fs.{FeatureLookup, FeatureStore, LookupHint, TrainingSet}
+import graft.fs.{FeatureLookup, FeatureResolver, LookupHint, TrainingSet}
 
 /** Batch scoring with automated feature enrichment — the reference's
   * `score_batch` semantics (implied by fs.log_model packaging the training
@@ -23,7 +23,7 @@ final case class ScoringModel(model: PipelineModel, lookups: Seq[FeatureLookup])
   /** Enrich + score: fold of left lookup joins, then model.transform —
     * one distributed plan, no driver boundary (contrast the reference's
     * toPandas at 02_model_training.py:250). */
-  def scoreBatch(store: FeatureStore, input: DataFrame): DataFrame = {
+  def scoreBatch(store: FeatureResolver, input: DataFrame): DataFrame = {
     val enriched = TrainingSet.fromStore(store, input, lookups).loadDf
     model.transform(enriched)
   }

