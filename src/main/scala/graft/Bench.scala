@@ -32,6 +32,7 @@ object Bench {
       // Defensive isolation: no query inherits another's cached blocks
       // (iterative ops cache intermediates; stale blocks skew timings).
       spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -122,7 +122,10 @@ object SparkEntry {
       store.readTable("customer_features_cat")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
-    }))
+    }),
+    // Stateful streaming (flatMapGroupsWithState): per-user running totals;
+    // single-batch replay makes the settled output == batch GROUP BY.
+    "q42_stream_stateful" -> ((s, d) => EventStreams.userTotalsStateful(s, d)))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -385,5 +388,9 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q41_catalog_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "q42_stream_stateful" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -27,15 +27,37 @@ object Dedup {
       .select("doc_id", "content_hash", "n_copies")
       .orderBy("doc_id")
 
-  /** Word `n`-shingles of the text as an array column (documents shorter
-    * than n words collapse to a single whole-text shingle). */
-  def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column = {
-    val toks = split(text, " ")
+  /** Word `n`-shingles from a pre-materialized token array (documents
+    * shorter than n words collapse to a single whole-text shingle).
+    *
+    * `toks` MUST be a bound column (not an inline `split(...)`): expressions
+    * referenced inside a higher-order-function lambda are re-evaluated per
+    * array element, so an inline split would re-tokenize the whole document
+    * for every shingle — O(words²) per document instead of O(words·n).
+    * [[shingled]] below sets the binding up correctly. */
+  private def shingleExpr(text: org.apache.spark.sql.Column,
+      toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val sh = transform(
       sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
     when(size(toks) < n, array(text)).otherwise(sh)
   }
+
+  /** Word `n`-shingles of the text as an array column. Convenience form for
+    * ad-hoc use on small data — the operators below go through [[shingled]],
+    * which binds the token array once per row (see [[shingleExpr]]). */
+  def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column =
+    shingleExpr(text, split(text, " "), n)
+
+  /** (doc_id, shingle-array) with the tokenization materialized in its own
+    * projection — CollapseProject keeps multi-referenced non-trivial aliases
+    * in place, so the split runs exactly once per document — and the input
+    * spread across the cluster first (a one-split fixture would otherwise
+    * shingle on a single task; see [[graft.ops.Partitioning.spread]]). */
+  private def shingled(documents: DataFrame, n: Int): DataFrame =
+    graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), shingleExpr(col("text"), col("__toks"), n).as("sh"))
 
   /** N-gram Jaccard similarity join over the *df-filtered shingle universe*:
     * explode distinct shingles, drop stop-shingles (document frequency above
@@ -51,8 +73,8 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.2,
       maxDocFreqFraction: Double = 0.5): DataFrame = {
-    val docShingles = documents
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("sh"))
+    val docShingles = shingled(documents, n)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh"))
     val total = documents.select(count(lit(1))).first().getLong(0)
     // Stop-shingle filter: a shingle present in most docs produces a
     // near-cartesian candidate set while carrying no dedup signal.
@@ -90,8 +112,7 @@ object Dedup {
       n: Int = 3,
       maxDistance: Double = 0.6,
       numHashTables: Int = 8): DataFrame = {
-    val withShingles = documents
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val withShingles = shingled(documents, n)
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features").setNumFeatures(1 << 18)
     // Cached: feats feeds the LSH fit AND both sides of the self-join —

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a Column (arrays widened to double first). */
+  /** Σ aᵢ·bᵢ as a Column (arrays widened to double first). Higher-order
+    * formulation — fine for one-off norms; the hot-path cosine below uses
+    * the codegen'd expression instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
@@ -28,8 +30,13 @@ object Similarity {
   /** ‖a‖₂ as a Column. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity of two array columns — a native Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): one fused loop, stays inside
+    * whole-stage codegen (zip_with/aggregate are CodegenFallback and drop
+    * every row out of the generated pipeline). Numerics identical: same
+    * left-to-right double accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   /** Exact top-k by cosine against the embedding of `queryVecId`: the single
     * query row is broadcast, the scan streams once, and orderBy+limit plans
@@ -40,7 +47,7 @@ object Similarity {
       roundDigits: Int = 6): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("query_embedding"))
-    embeddings
+    graft.ops.Partitioning.spread(embeddings)
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
       .select(
@@ -59,7 +66,7 @@ object Similarity {
     * materialized once per row first — inlining it in the transform lambda
     * would re-run the d-element aggregate for every element (O(d²)/row). */
   private def normalized(embeddings: DataFrame): DataFrame =
-    embeddings
+    graft.ops.Partitioning.spread(embeddings)
       .withColumn("__nrm", l2norm(col("embedding")))
       .withColumn("norm_vec",
         array_to_vector(
@@ -96,7 +103,8 @@ object Similarity {
   final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
 
   def buildIvf(embeddings: DataFrame, nlist: Int = 16): IvfIndex = {
-    val withVec = embeddings.withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
+    val withVec = graft.ops.Partitioning.spread(embeddings)
+      .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
     val km = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("vec").setPredictionCol("cell")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec).drop("vec")

@@ -80,7 +80,7 @@ object TextOps {
     * groupBy that folds the bit sums, so length blocking below costs no
     * extra pass. */
   private def simHashWithLen(documents: DataFrame): DataFrame = {
-    val tokenHashes = documents
+    val tokenHashes = graft.ops.Partitioning.spread(documents)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { i =>
@@ -149,7 +149,7 @@ object TextOps {
     */
   def languageId(documents: DataFrame, labelled: DataFrame, topN: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokenFreq = labelled
+    val tokenFreq = graft.ops.Partitioning.spread(labelled)
       .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang")).orderBy(desc("df"), col("tok"))
@@ -157,7 +157,8 @@ object TextOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
       .select(col("lang").as("profile_lang"), col("tok"), (lit(1.0) / col("rank")).as("weight"))
-    val docTokens = documents.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val docTokens = graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
     val scored = docTokens
       .join(broadcast(profile), Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
