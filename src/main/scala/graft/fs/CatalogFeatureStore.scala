@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * any session sharing the metastore resolves them by name — the contract
   * every downstream user of the reference relies on. PK and description
   * metadata ride as table properties (`graft.primaryKeys`,
-  * `graft.description`).
+  * `graft.description`). Identifiers are backtick-quoted in every generated
+  * statement, so hyphenated or otherwise non-trivial database/table names
+  * work (and name interpolation can never escape the identifier position).
   *
   * Format note: the reference materializes feature tables as Delta; this
   * sandbox has no Delta jars (offline), so tables are parquet — swapping
@@ -24,25 +26,42 @@ final class CatalogFeatureStore(
     val database: String,
     location: Option[String] = None) extends FeatureResolver {
 
+  override protected def resolverSession: SparkSession = spark
+
+  /** Backtick-quote one identifier part (embedded backticks doubled). */
+  private def bq(id: String): String = "`" + id.replace("`", "``") + "`"
+
   locally {
     val loc = location.map(l => s" LOCATION '${l.replace("'", "''")}'").getOrElse("")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database$loc")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${bq(database)}$loc")
   }
 
-  private def fullName(name: String) = s"$database.$name"
+  private def fullName(name: String) = s"${bq(database)}.${bq(name)}"
 
   /** The database's physical location (resolved once from the catalog). */
   private lazy val databaseLocation: String =
-    spark.sql(s"DESCRIBE DATABASE $database")
+    spark.sql(s"DESCRIBE DATABASE ${bq(database)}")
       .collect()
       .collectFirst { case r if r.getString(0) == "Location" => r.getString(1) }
       .getOrElse(sys.error(s"DESCRIBE DATABASE $database returned no Location"))
+
+  /** File names a Spark parquet table write leaves behind. Orphan cleanup
+    * (below) refuses to touch a directory holding anything else. */
+  private def isTableRemnant(fileName: String): Boolean =
+    fileName == "_SUCCESS" || fileName.endsWith(".parquet") ||
+      fileName.endsWith(".parquet.crc") || fileName.startsWith("_committed") ||
+      fileName.startsWith("_started") || fileName.startsWith(".")
 
   /** Register `df` as `database.name` with the same PK contract as the
     * path-backed store (uniqueness enforced distributed, at write time).
     * Overwrite-idempotent across sessions: a non-persistent metastore (the
     * local in-memory catalog) forgets tables between sessions while their
-    * files remain, so any orphaned location is cleared before the write. */
+    * files remain, so an orphaned table location is cleared before the
+    * write — but ONLY when its contents are recognizably the remnants of a
+    * previous parquet table write. A directory holding anything else is
+    * never deleted: the store must not destroy files it did not write
+    * (createTable fails with a clear message instead, and the user decides).
+    */
   def createTable(
       name: String,
       primaryKeys: Seq[String],
@@ -53,12 +72,22 @@ final class CatalogFeatureStore(
     if (!tableExists(name)) {
       val orphan = new org.apache.hadoop.fs.Path(s"$databaseLocation/$name")
       val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(orphan)) { fs.delete(orphan, true); () }
+      if (fs.exists(orphan)) {
+        val entries = fs.listStatus(orphan).map(_.getPath.getName)
+        val strangers = entries.filterNot(isTableRemnant)
+        if (strangers.nonEmpty)
+          throw new IllegalStateException(
+            s"createTable($name): location $orphan exists but holds files this " +
+              s"store did not write (${strangers.take(5).mkString(", ")}); " +
+              "refusing to delete — move them aside or drop the directory manually")
+        System.err.println(s"[graft] createTable($name): clearing orphaned table files at $orphan")
+        fs.delete(orphan, true)
+      }
     }
     df.write.mode("overwrite").format("parquet").saveAsTable(fullName(name))
     spark.sql(
       s"""ALTER TABLE ${fullName(name)} SET TBLPROPERTIES (
-         |  'graft.primaryKeys' = '${primaryKeys.mkString(",")}',
+         |  'graft.primaryKeys' = '${primaryKeys.mkString(",").replace("'", "''")}',
          |  'graft.description' = '${description.replace("'", "''")}')""".stripMargin)
     FeatureTable(name, primaryKeys, description, df.schema, fullName(name))
   }
@@ -67,7 +96,7 @@ final class CatalogFeatureStore(
   override def readTable(name: String): DataFrame = spark.table(fullName(name))
 
   /** Re-hydrate table metadata from catalog properties. */
-  def getTable(name: String): FeatureTable = {
+  override def getTable(name: String): FeatureTable = {
     val props = spark.sql(s"SHOW TBLPROPERTIES ${fullName(name)}")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     FeatureTable(

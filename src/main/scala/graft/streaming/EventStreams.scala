@@ -45,10 +45,11 @@ object EventStreams {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The fixture is a single parquet file; the file stream source requires
-    // a directory, so stream the parent dir with a glob filter.
+    // a directory, so stream the parent dir with a glob filter (the pattern
+    // also admits multi-file fixtures, e.g. events_0.parquet/events_1.parquet).
     val stream = spark.readStream
       .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", "events*.parquet")
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "2 hours")
@@ -70,20 +71,27 @@ object EventStreams {
     * the KeyValueGroupedDataset state API the build target calls for):
     * per-user running totals held in a [[UserRunningState]] that survives
     * micro-batches. Each batch emits the totals-so-far per user touched in
-    * that batch; the parquet fixture replays as a single batch (the file
-    * source packs all initially-available files into trigger #1), so the
-    * settled memory-sink table equals the batch `GROUP BY user_id` — which
-    * is exactly how the driver's DuckDB oracle checks it.
+    * that batch, so the Append-mode sink accumulates one row per user per
+    * batch. The settled answer is the LAST emission per user — selected on
+    * the sink read by max `n_events` (the running count is strictly
+    * monotone per user), which makes the result equal the batch
+    * `GROUP BY user_id` REGARDLESS of how the input was carved into
+    * micro-batches (single-file replay, multi-file directories,
+    * `maxFilesPerTrigger=1`, …) — verified by StreamingSpec's forced
+    * multi-batch replay.
     *
     * State scale: one 16-byte struct per user, partitioned by group key
     * across executors — bounded by distinct users, not event volume. */
-  def userTotalsStateful(spark: SparkSession, sfDir: String): DataFrame = {
+  def userTotalsStateful(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_state_${runId.incrementAndGet()}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val totals = spark.readStream
+    val reader = spark.readStream
       .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val totals = reader
       .parquet(sfDir)
       .as[EventRec]
       .groupByKey(_.user_id)
@@ -105,6 +113,13 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("user_id")
+    // Settle: keep the final (highest-running-count) emission per user.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy("user_id")
   }
 }

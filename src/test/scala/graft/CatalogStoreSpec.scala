@@ -65,6 +65,50 @@ class CatalogStoreSpec extends SparkSpec {
     assert(out.columns.toSet == Set("product_id", "on_sales", "purchased", "total_purchase_7d"))
   }
 
+  test("identifiers are backtick-quoted: reserved-word table names work") {
+    // `select` passes Spark's catalog name validation but breaks every
+    // unquoted generated statement (ALTER TABLE db.select ...) — the
+    // round-trip below only works because the store quotes identifiers.
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    store.createTable("select", Seq("id"), df, "reserved-word name")
+    assert(store.tableExists("select"))
+    assert(store.readTable("select").count() == 2)
+    assert(store.getTable("select").primaryKeys == Seq("id"))
+    store.dropTable("select")
+    assert(!store.tableExists("select"))
+
+    // Hyphenated names are rejected by Spark's SessionCatalog itself
+    // (validateName allows only [A-Za-z0-9_]) — quoting cannot and should
+    // not bypass catalog validation; the store surfaces Spark's clear error.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      store.createTable("cust-features-v2", Seq("id"), df)
+    }
+    assert(e.getMessage.contains("not a valid name"))
+  }
+
+  test("orphan cleanup refuses to delete directories holding foreign files") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    // Simulate a stale location that contains a file the store never wrote:
+    // createTable must refuse rather than recursively delete user data.
+    val loc = new java.io.File(s"$warehouse/graft_test_db.db/precious_tbl")
+    assert(loc.mkdirs())
+    java.nio.file.Files.write(loc.toPath.resolve("user_notes.txt"),
+      "not a table remnant".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      store.createTable("precious_tbl", Seq("id"), df)
+    }
+    assert(e.getMessage.contains("user_notes.txt"))
+    assert(loc.toPath.resolve("user_notes.txt").toFile.exists()) // untouched
+
+    // Genuine remnants (parquet files from a forgotten table) ARE cleared.
+    java.nio.file.Files.delete(loc.toPath.resolve("user_notes.txt"))
+    java.nio.file.Files.write(loc.toPath.resolve("part-0000.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    store.createTable("precious_tbl", Seq("id"), df)
+    assert(store.readTable("precious_tbl").count() == 1)
+    store.dropTable("precious_tbl")
+  }
+
   test("requireFiles passes when present and fails fast naming the missing") {
     SourceValidation.requireFiles(spark, "/root/reference/data",
       Seq("customer_features.csv", "product_features.csv", "training_labels.csv"))

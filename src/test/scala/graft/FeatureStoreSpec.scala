@@ -63,6 +63,32 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fresh.readTable("product_features").count() == 50)
   }
 
+  test("hostile descriptions (quotes, newlines, backslashes) survive re-attach") {
+    import spark.implicits._
+    val desc = "line1 \"quoted\", comma\nline2 \\backslash\\ and a ] bracket"
+    store.createTable("hostile_meta", Seq("id"), Seq((1, "x")).toDF("id", "v"), desc)
+    val fresh = new FeatureStore(spark, base)
+    val ft = fresh.getTable("hostile_meta")
+    assert(ft.description == desc)
+    assert(ft.primaryKeys == Seq("id"))
+  }
+
+  test("lookupOne retrieves a feature row by primary key (J3 batch analog)") {
+    store.createTable("point_lookup",
+      Seq("customer_id"),
+      CsvIngest.readInferred(spark, refData("customer_features.csv")))
+    val hit = store.lookupOne("point_lookup", 1)
+    assert(hit.isDefined)
+    assert(hit.get.getAs[Double]("total_purchase_7d") > 0.0)
+    // Warm path: the broadcast index is built once; repeated lookups are
+    // in-memory hash probes (no Spark job) — time a batch to prove it.
+    val t0 = System.nanoTime()
+    (1 to 100).foreach(i => store.lookupOne("point_lookup", i))
+    val perLookupMs = (System.nanoTime() - t0) / 1e6 / 100
+    assert(perLookupMs < 10.0, s"warm point lookup took $perLookupMs ms")
+    assert(store.lookupOne("point_lookup", 99999).isEmpty)
+  }
+
   test("CSV schema inference matches the reference expectation") {
     val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
     val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap

@@ -20,6 +20,44 @@ class PipelineOpsSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("real image payloads decode via javax.imageio to luminance histograms") {
+    import spark.implicits._
+    // Synthesize PNGs in-memory: an all-black and an all-white 8x8 image,
+    // plus a half-black/half-white one. Expected histograms are exact.
+    def png(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val black = png((_, _) => 0x000000)
+    val white = png((_, _) => 0xFFFFFF)
+    val half = png((x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val media = Seq(
+      (1L, black, "image/png", black.length.toLong),
+      (2L, white, "image/png", white.length.toLong),
+      (3L, half, "image/png", half.length.toLong))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16)
+      .collect().sortBy(_.media_id).map(_.feature.toSeq)
+    // All-black: every pixel in bin 0; all-white: bin 15; half: 0.5 each.
+    assert(feats(0)(0) == 1.0f && feats(0).sum == 1.0f)
+    assert(feats(1)(15) == 1.0f && feats(1).sum == 1.0f)
+    assert(feats(2)(0) == 0.5f && feats(2)(15) == 0.5f)
+  }
+
+  test("non-image payloads fall back to the deterministic stub kernel") {
+    import spark.implicits._
+    val bytes = "definitely not an image".getBytes("UTF-8")
+    val media = Seq((7L, bytes, "application/octet-stream", bytes.length.toLong))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val got = Multimodal.extractFeatures(spark, media, dim = 4).collect().head.feature
+    val want = new Array[Float](4)
+    bytes.zipWithIndex.foreach { case (b, i) => want(i % 4) += (b & 0xFF) / 255.0f }
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming tumbling aggregation equals the batch result") {
     val streamed = EventStreams.tumblingHourlyStream(spark, sf)
       .select("window_start", "n_events", "sum_value").collect()

@@ -55,11 +55,53 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.length == 10)
   }
 
+  /** Driver-side exact all-pairs ground truth for the near-dup ops. */
+  private def localPairs(minCosine: Double): Set[(Long, Long)] = {
+    val rows = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= minCosine
+    } yield (ia, ib)).toSet
+  }
+
+  test("exact near-dup pairs equal the driver-side all-pairs ground truth") {
+    val got = Similarity.cosineNearDupPairs(embeddings, minCosine = 0.3).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got == localPairs(0.3)) // 100% recall AND precision, by construction
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, minCosine = 0.5).collect()
     pairs.foreach { r =>
       assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
-      assert(r.getAs[Double]("cosine_sim") >= 0.5 - 1e-9)
+      // Filter applies to the unrounded value; the emitted value is rounded
+      // to 6 digits, so it can sit up to 5e-7 below the threshold.
+      assert(r.getAs[Double]("cosine_sim") >= 0.5 - 5e-7)
     }
+  }
+
+  test("banded near-dup join finds all planted near-duplicates, none spurious") {
+    import spark.implicits._
+    // Plant near-dups: clone 20 base vectors with a tiny deterministic
+    // perturbation (cosine vs original ≈ 0.9998, far above 0.9).
+    val base = embeddings.select("vec_id", "embedding").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val rng = new scala.util.Random(7)
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + rng.nextFloat() * 0.01f - 0.005f))
+    }
+    val corpus = (base ++ planted).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairsBanded(corpus, minCosine = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val want = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    // Recall must cover every plant; precision is exact by construction
+    // (candidates pass the exact cosine >= 0.9 filter before being emitted).
+    assert((want -- got).isEmpty, s"banded join missed planted pairs: ${want -- got}")
   }
 }
