@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.dedup.Dedup
 import graft.fs.{CatalogFeatureStore, FeatureLookup, LookupHint, TrainingSet}
@@ -134,8 +135,18 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     // Stateful streaming (flatMapGroupsWithState): per-user running totals;
-    // single-batch replay makes the settled output == batch GROUP BY.
-    "q42_stream_stateful" -> ((s, d) => EventStreams.userTotalsStateful(s, d)))
+    // the sink read settles append-mode emissions to the last per user, so
+    // the result == batch GROUP BY under any micro-batch carving.
+    "q42_stream_stateful" -> ((s, d) => EventStreams.userTotalsStateful(s, d)),
+    // BPE-style pre-tokenization (RE2-compatible pattern — identical
+    // semantics in the DuckDB oracle) vs whitespace token budget.
+    "q43_bpe_tokens" -> ((s, d) => TextOps.bpeTokenStats(Tables.documents(s, d))),
+    // Batch exact k-NN join: top-10 neighbors for each of 5 query vectors
+    // in one corpus pass (rank-limit pushdown keeps the shuffle at O(k·Q)).
+    "q44_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), 10)
+    }))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -410,5 +421,27 @@ object SparkEntry {
     "q42_stream_stateful" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q43_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+', 0)) AS INTEGER)
+         |    AS n_bpe_tokens,
+         |  round(CAST(len(regexp_extract_all(text,
+         |    '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+', 0)) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS bpe_per_word
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_knn_join" ->
+      """SELECT q_vec_id, vec_id, label, cosine_sim, CAST(rn AS INTEGER) AS knn_rank FROM (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS vec_id, e.label AS label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 6) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rn <= 10
+        |ORDER BY q_vec_id, knn_rank""".stripMargin)
 }

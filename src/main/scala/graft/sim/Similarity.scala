@@ -91,6 +91,35 @@ object Similarity {
       .orderBy(desc("cosine_sim_approx"), col("vec_id"))
   }
 
+  /** Batch exact k-NN join: the top-k cosine neighbors for EVERY row of a
+    * bounded `queries` set in one plan (the multi-query generalization of
+    * [[bruteForceTopK]] — retrieval for a batch of probes, dedup seeding,
+    * eval-set mining). Queries are broadcast; the corpus streams ONCE for
+    * all of them; ranking uses `row_number` over (rounded sim desc, vec_id)
+    * so boundaries are deterministic and cross-engine comparable.
+    *
+    * Scale shape: Spark's rank-limit pushdown (WindowGroupLimit) keeps only
+    * k rows per query per partition BEFORE the shuffle, so the exchange
+    * carries O(k·Q·partitions), not the N·Q scored rows. For corpora where
+    * even one streaming pass per batch is too much, probe an [[IvfIndex]]
+    * per query instead. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      roundDigits: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")))
+    val scored = graft.ops.Partitioning.spread(corpus)
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .select(col("q_vec_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), roundDigits).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(desc("cosine_sim"), col("vec_id"))
+    scored
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .orderBy("q_vec_id", "knn_rank")
+  }
+
   // ---- IVF ------------------------------------------------------------------
 
   /** IVF (inverted-file) index: a k-means coarse quantizer partitions the

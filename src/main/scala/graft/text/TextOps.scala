@@ -15,6 +15,35 @@ object TextOps {
   /** Whitespace tokenizer as a Column expression. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 pretokenizer family):
+    * common English contractions, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, residual whitespace.
+    * Restricted to the RE2-compatible subset (no lookahead), so the exact
+    * same pattern runs in Spark (java.util.regex) and DuckDB (RE2) with
+    * identical leftmost-first alternation semantics — oracle-comparable. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish tokenizer: every non-overlapping match of [[BpePattern]], in
+    * order. Token COUNT under this scheme approximates LLM-tokenizer counts
+    * far better than whitespace splitting (punctuation and contractions
+    * count separately), which is what byte-budget curation actually needs. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Per-document token budget under both tokenizations: whitespace words
+    * vs BPE-ish pieces, plus their ratio (pieces per word — a cheap
+    * "tokenizer inflation" quality signal: prose sits near 1, code and
+    * punctuation-heavy text inflate). One codegen'd pass, no explode. */
+  def bpeTokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6))
+      .orderBy("doc_id")
+
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 

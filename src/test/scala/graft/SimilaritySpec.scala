@@ -55,6 +55,21 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.length == 10)
   }
 
+  test("knn join returns the brute-force top-k for every query row") {
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val got = Similarity.knnJoin(embeddings, queries, 5).collect()
+      .groupBy(_.getAs[Long]("q_vec_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("knn_rank")).map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    // Per query, the k-NN join must agree with the single-query baseline.
+    (0L to 2L).foreach { qid =>
+      val single = Similarity.bruteForceTopK(embeddings, qid, 5).collect()
+        .map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) == single, s"query $qid: ${got(qid)} != $single")
+    }
+  }
+
   /** Driver-side exact all-pairs ground truth for the near-dup ops. */
   private def localPairs(minCosine: Double): Set[(Long, Long)] = {
     val rows = embeddings.select("vec_id", "embedding").collect()

@@ -20,6 +20,20 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Int]("text_len") == text.length)
   }
 
+  test("bpe-ish tokenization counts pieces the way the pattern promises") {
+    import spark.implicits._
+    // "it's a test, 42 times!" →
+    //   [it]['s][ a][ test][,][ 42][ times][!] = 8 pieces, 5 ws tokens.
+    val df = Seq((1L, "it's a test, 42 times!"), (2L, "plain words here"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps.bpeTokenStats(df).collect()
+    assert(got(0).getAs[Int]("n_bpe_tokens") == 8)
+    assert(got(0).getAs[Int]("n_ws_tokens") == 5)
+    assert(got(1).getAs[Int]("n_bpe_tokens") == 3)
+    assert(got(1).getAs[Int]("n_ws_tokens") == 3)
+    assert(got(1).getAs[Double]("bpe_per_word") == 1.0)
+  }
+
   test("corpus stats cover all languages with consistent counts") {
     val stats = TextOps.corpusStats(docs).collect()
     assert(stats.map(_.getAs[String]("lang")).toSet == Set("en", "de", "fr", "es", "zh"))
