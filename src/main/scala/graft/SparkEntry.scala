@@ -146,7 +146,10 @@ object SparkEntry {
     "q44_knn_join" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), 10)
-    }))
+    }),
+    // Rolling-hash (winnowing) fingerprints — xxhash64-based, so no SQL
+    // oracle (rows-only check + TextOpsSpec property tests).
+    "q45_winnowing" -> ((s, d) => TextOps.winnowingStats(Tables.documents(s, d))))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"

@@ -97,6 +97,68 @@ object TextOps {
       sha2(substring(col("text"), 1, 64), 256).as("prefix_sha256"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (the rolling-hash document fingerprint of
+    * Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the scheme behind MOSS):
+    * hash every `k`-char gram, then in every window of `window` consecutive
+    * gram hashes keep the minimum; the per-document fingerprint set is the
+    * distinct kept hashes. Guarantee: any substring match of length ≥
+    * `window + k − 1` chars yields at least one SHARED fingerprint, so
+    * partial-overlap/containment near-dups (which whole-document hashing
+    * and token-set Jaccard both miss) surface as fingerprint joins.
+    *
+    * Shape: map-only — per row two higher-order transforms (gram hashing,
+    * windowed min) and an explode; no shuffle until whatever aggregation
+    * the caller adds. Output: one (doc_id, fingerprint) row per kept hash.
+    */
+  def winnowingFingerprints(documents: DataFrame, k: Int = 8, window: Int = 4): DataFrame = {
+    val text = col("text")
+    val nGrams = greatest(length(text) - (k - 1), lit(1))
+    val gramHashes =
+      transform(sequence(lit(1), nGrams), i => xxhash64(text.substr(i, lit(k))))
+    val withH = graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), gramHashes.as("__h"))
+    val nWindows = greatest(size(col("__h")) - (window - 1), lit(1))
+    withH.select(
+      col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), nWindows),
+          j => array_min(slice(col("__h"), j, lit(window)))))).as("fingerprint"))
+  }
+
+  /** Per-document winnowing summary (deterministic: one row per doc). */
+  def winnowingStats(documents: DataFrame, k: Int = 8, window: Int = 4): DataFrame =
+    winnowingFingerprints(documents, k, window)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        min(col("fingerprint")).as("min_fingerprint"),
+        max(col("fingerprint")).as("max_fingerprint"))
+      .orderBy("doc_id")
+
+  /** Fingerprint-overlap near-dup candidates: documents sharing ≥
+    * `minShared` winnowing fingerprints. Blocking is the fingerprint
+    * equi-join itself; fingerprints present in more than `maxDocFreq`
+    * documents are dropped first (boilerplate killer — same skew guard as
+    * the stop-shingle filter in [[graft.dedup.Dedup.ngramJaccardPairs]]),
+    * so no bucket degenerates toward all-pairs at corpus scale. */
+  def winnowingNearDups(documents: DataFrame, k: Int = 8, window: Int = 4,
+      minShared: Int = 2, maxDocFreq: Int = 100): DataFrame = {
+    val fps = winnowingFingerprints(documents, k, window)
+    val rare = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fingerprint")
+    val filtered = fps.join(rare, Seq("fingerprint"))
+    val a = filtered.select(col("fingerprint"), col("doc_id").as("doc_a"))
+    val b = filtered.select(col("fingerprint"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash per document: hash every token with xxhash64, then for
     * each of 64 bit positions take the sign of Σ(±1). Near-duplicate texts
     * land within small Hamming distance. Implemented as explode → 64 partial

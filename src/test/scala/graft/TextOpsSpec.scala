@@ -34,6 +34,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1).getAs[Double]("bpe_per_word") == 1.0)
   }
 
+  test("winnowing: substring containment yields shared fingerprints") {
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, core),
+      (2L, "PREFIX PREFIX " + core),            // containment
+      (3L, core),                                // identical
+      (4L, "completely different content with nothing in common at all zz"))
+      .toDF("doc_id", "text")
+    val fps = graft.text.TextOps.winnowingFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps(1) == fps(3))                     // identical docs, identical sets
+    // Winnowing guarantee: shared substrings >= window+k-1 chars share
+    // fingerprints — containment must overlap heavily.
+    val overlap = (fps(1) & fps(2)).size.toDouble / fps(1).size
+    assert(overlap > 0.8, s"containment overlap $overlap")
+    assert((fps(1) & fps(4)).isEmpty || (fps(1) & fps(4)).size <= 1)
+
+    // The near-dup join surfaces (1,2),(1,3),(2,3) but never pairs with 4.
+    val pairs = graft.text.TextOps.winnowingNearDups(docs, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("winnowing stats: one deterministic row per doc at fixture scale") {
+    val docs = Tables.documents(spark, sf)
+    val stats = graft.text.TextOps.winnowingStats(docs)
+    assert(stats.count() == docs.count())
+    val twice = graft.text.TextOps.winnowingStats(docs)
+    assert(stats.collect().toSeq == twice.collect().toSeq)
+  }
+
   test("corpus stats cover all languages with consistent counts") {
     val stats = TextOps.corpusStats(docs).collect()
     assert(stats.map(_.getAs[String]("lang")).toSet == Set("en", "de", "fr", "es", "zh"))
