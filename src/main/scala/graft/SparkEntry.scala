@@ -8,7 +8,7 @@ import graft.fs.{CatalogFeatureStore, FeatureLookup, LookupHint, TrainingSet}
 import graft.multimodal.Multimodal
 import graft.ops.{Events, Relational, Validation}
 import graft.sim.Similarity
-import graft.streaming.EventStreams
+import graft.streaming.{DocumentStreams, EventStreams}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -149,7 +149,23 @@ object SparkEntry {
     }),
     // Rolling-hash (winnowing) fingerprints — xxhash64-based, so no SQL
     // oracle (rows-only check + TextOpsSpec property tests).
-    "q45_winnowing" -> ((s, d) => TextOps.winnowingStats(Tables.documents(s, d))))
+    "q45_winnowing" -> ((s, d) => TextOps.winnowingStats(Tables.documents(s, d))),
+    // Point-in-time (as-of) enrichment: each event sees the user's most
+    // recent purchase value at-or-before its timestamp — the leakage-free
+    // time-versioned lookup (oracle: DuckDB's native ASOF LEFT JOIN).
+    "q46_asof_enrich" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val feats = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(org.apache.spark.sql.functions.max(col("value")).as("last_purchase_value"))
+      graft.ops.AsOfJoin.asOf(ev, feats, Seq("user_id"), "ts", "ts",
+          Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+    // Streaming exact dedup: distinct content hashes across micro-batches.
+    "q47_stream_dedup" -> ((s, d) => DocumentStreams.streamingDistinctHashes(s, d)))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -446,5 +462,22 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id < 5)
         |WHERE rn <= 10
-        |ORDER BY q_vec_id, knn_rank""".stripMargin)
+        |ORDER BY q_vec_id, knn_rank""".stripMargin,
+    // Cast TIMESTAMP_NS -> TIMESTAMP (truncation) BEFORE the ASOF compare so
+    // the inequality runs at the same microsecond precision Spark uses.
+    "q46_asof_enrich" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+        |  feat.last_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        event_type, value FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    MAX(value) AS last_purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)) feat
+        |ON e.user_id = feat.user_id AND e.ts >= feat.ts
+        |ORDER BY event_id""".stripMargin,
+    "q47_stream_dedup" ->
+      """SELECT DISTINCT sha256(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin)
 }

@@ -45,6 +45,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batchTotals.collect().toSeq)
   }
 
+  test("streaming dedup emits each distinct content hash once, even multi-batch") {
+    val docs = Tables.documents(spark, sf)
+    val batchHashes = docs.select(sha2(col("text"), 256).as("content_hash"))
+      .distinct().orderBy("content_hash").collect().map(_.getString(0)).toSeq
+
+    val single = graft.streaming.DocumentStreams.streamingDistinctHashes(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    assert(single == batchHashes)
+
+    // Forced multi-batch: carve the fixture into 3 files, one per trigger —
+    // dedup state must hold across batches (no hash re-emitted).
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_multi").toString
+    (0 until 3).foreach { i =>
+      val sliceDir = s"$dir/slice_$i"
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/documents_$i.parquet"))
+    }
+    val multi = graft.streaming.DocumentStreams
+      .streamingDistinctHashes(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(_.getString(0)).toSeq
+    assert(multi == batchHashes)
+  }
+
   test("streaming tumbling windows equal the batch tumbling windows") {
     val streamed = EventStreams.tumblingHourlyStream(spark, sf)
       .select("window_start", "n_events", "sum_value")
