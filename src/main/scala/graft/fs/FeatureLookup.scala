@@ -29,6 +29,15 @@ object LookupHint {
   *
   * `renames` optionally renames attached feature columns on the way out
   * (output aliasing, applied after projection).
+  *
+  * `timestampLookupKey` switches the lookup to POINT-IN-TIME mode (the
+  * production feature-store `timestamp_lookup_key` contract): instead of a
+  * plain equi-join, each fact row receives the latest feature row whose
+  * `tableTimestampKey` (defaults to the same name) is ≤ the fact's
+  * `timestampLookupKey` — resolved through [[graft.ops.AsOfJoin]], the
+  * leakage-free join for time-versioned feature tables. In this mode the
+  * feature table's key is (tableKey, tableTimestampKey) and PK uniqueness
+  * applies to that pair.
   */
 final case class FeatureLookup(
     tableName: String,
@@ -36,9 +45,15 @@ final case class FeatureLookup(
     lookupKey: String,
     tableKeyOpt: Option[String] = None,
     hint: LookupHint = LookupHint.Auto,
-    renames: Map[String, String] = Map.empty) {
+    renames: Map[String, String] = Map.empty,
+    timestampLookupKey: Option[String] = None,
+    tableTimestampKey: Option[String] = None) {
 
   def tableKey: String = tableKeyOpt.getOrElse(lookupKey)
+
+  /** Feature-side timestamp column in point-in-time mode. */
+  def resolvedTableTimestampKey: Option[String] =
+    timestampLookupKey.map(k => tableTimestampKey.getOrElse(k))
 
   /** Project the feature table to (key-as-lookupKey, features) and apply the
     * join hint. Projection first so only the needed columns cross the wire —

@@ -24,10 +24,29 @@ final case class TrainingSet(
     labelColumn: Option[String],
     excludeColumns: Seq[String]) {
 
-  /** The assembled training DataFrame (lazy plan, never collected). */
+  /** The assembled training DataFrame (lazy plan, never collected).
+    *
+    * Untimed lookups fold as LEFT equi-joins; lookups carrying a
+    * `timestampLookupKey` fold as point-in-time joins
+    * ([[graft.ops.AsOfJoin]]) so each fact row only sees feature values
+    * that existed at its own timestamp. */
   def loadDf: DataFrame = {
+    import org.apache.spark.sql.functions.col
     val joined = lookups.foldLeft(labels) { case (acc, (lk, featureDf)) =>
-      acc.join(lk.resolve(featureDf), Seq(lk.lookupKey), "left")
+      (lk.timestampLookupKey, lk.resolvedTableTimestampKey) match {
+        case (Some(factTs), Some(featTs)) =>
+          // Project to (key-as-lookupKey, feature ts, renamed features); the
+          // ts column gets a reserved name so it can never collide with a
+          // fact column of the same name.
+          val projected = featureDf.select(
+            (col(lk.tableKey).as(lk.lookupKey) +:
+              col(featTs).as("__graft_feature_ts") +:
+              lk.featureNames.map(f => col(f).as(lk.renames.getOrElse(f, f)))): _*)
+          graft.ops.AsOfJoin.asOf(acc, projected, Seq(lk.lookupKey),
+            factTs, "__graft_feature_ts", lk.outputColumns)
+        case _ =>
+          acc.join(lk.resolve(featureDf), Seq(lk.lookupKey), "left")
+      }
     }
     if (excludeColumns.nonEmpty) joined.drop(excludeColumns: _*) else joined
   }

@@ -49,7 +49,9 @@ final case class ScoringModel(
         ("lookupKey" -> lk.lookupKey) ~
         ("tableKey" -> lk.tableKey) ~
         ("hint" -> ScoringModel.hintName(lk.hint)) ~
-        ("renames" -> lk.renames)
+        ("renames" -> lk.renames) ~
+        ("timestampLookupKey" -> lk.timestampLookupKey) ~
+        ("tableTimestampKey" -> lk.tableTimestampKey)
     }.toList)
     ScoringModel.writeText(s"$path/lookups.json",
       JsonMethods.compact(JsonMethods.render(lookupsJson)))
@@ -112,7 +114,9 @@ object ScoringModel {
           (o \ "lookupKey").extract[String],
           (o \ "tableKey").extractOpt[String],
           (o \ "hint").extractOpt[String].map(hintOf).getOrElse(LookupHint.Auto),
-          (o \ "renames").extractOpt[Map[String, String]].getOrElse(Map.empty))
+          (o \ "renames").extractOpt[Map[String, String]].getOrElse(Map.empty),
+          (o \ "timestampLookupKey").extractOpt[String],
+          (o \ "tableTimestampKey").extractOpt[String])
       }
       case other => sys.error(s"lookups.json: expected a JSON array, got $other")
     }

@@ -97,10 +97,12 @@ class TrainerSpec extends SparkSpec {
     assert(rescored.select("prediction").collect().toSeq ==
       scored.select("prediction").collect().toSeq)
 
-    // Hostile metadata survives: renames, hints, quotes/commas in names.
+    // Hostile metadata survives: renames, hints, quotes/commas in names,
+    // point-in-time keys.
     val fancy = Seq(FeatureLookup("customer_features", Seq("total_purchase_7d"),
       "customer_id", Some("customer_id"), LookupHint.Broadcast,
-      Map("total_purchase_7d" -> """p7d "quoted", comma""")))
+      Map("total_purchase_7d" -> """p7d "quoted", comma"""),
+      timestampLookupKey = Some("event_ts"), tableTimestampKey = Some("feature_ts")))
     ScoringModel(model, fancy).save(s"$base/saved_model_fancy")
     assert(ScoringModel.load(spark, s"$base/saved_model_fancy").lookups == fancy)
   }

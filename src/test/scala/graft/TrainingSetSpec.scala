@@ -63,6 +63,34 @@ class TrainingSetSpec extends SparkSpec {
     assert(nullCount == 0)
   }
 
+  test("time-versioned lookup resolves point-in-time feature values") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val facts = Seq(
+      (1L, 10L, t("2024-03-01 00:00:00"), 1),
+      (2L, 10L, t("2024-03-15 00:00:00"), 0),
+      (3L, 10L, t("2024-02-01 00:00:00"), 1))  // before first feature version
+      .toDF("fact_id", "customer_id", "ts", "purchased")
+    // Two feature versions for customer 10: March facts must see the value
+    // that existed at their own timestamp, never the later one.
+    val versioned = Seq(
+      (10L, t("2024-02-15 00:00:00"), 100.0),
+      (10L, t("2024-03-10 00:00:00"), 200.0))
+      .toDF("customer_id", "feature_ts", "spend")
+    val ts730 = TrainingSet.fromFrames(
+      facts,
+      Seq(FeatureLookup("spend_history", Seq("spend"), "customer_id",
+        timestampLookupKey = Some("ts"),
+        tableTimestampKey = Some("feature_ts")) -> versioned),
+      labelColumn = Some("purchased"),
+      excludeColumns = Seq("customer_id"))
+    val got = ts730.loadDf.collect()
+      .map(r => r.getAs[Long]("fact_id") -> Option(r.get(r.fieldIndex("spend")))).toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None))
+    assert(ts730.loadDf.columns.toSet == Set("fact_id", "ts", "purchased", "spend"))
+  }
+
   test("lookup with differing key names (tableKey mapping)") {
     val facts = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val ts = TrainingSet.fromFrames(
