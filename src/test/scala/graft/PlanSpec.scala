@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the performance contract of the flagship
+  * queries, asserted against the optimized physical plan. Correctness specs
+  * prove the WHAT; these prove the HOW stays the plan we designed for
+  * 100 TB (filters reach the scan, dimensions broadcast, top-k never global-
+  * sorts, rank pushdown bounds window shuffles, ANN probes hit the index) —
+  * a refactor that silently degrades any of these fails here, not in a
+  * benchmark three rounds later.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  private def assertPlan(q: String, mustContain: Seq[String], mustNot: Seq[String] = Nil): Unit = {
+    val p = plan(q)
+    mustContain.foreach(s => assert(p.contains(s), s"$q plan lacks '$s':\n$p"))
+    mustNot.foreach(s => assert(!p.contains(s), s"$q plan unexpectedly contains '$s'"))
+  }
+
+  test("q02 filter scan: predicates pushed into the parquet scan") {
+    val p = plan("q02_filter_scan")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(l_returnflag,R)"), s"filters not pushed:\n$p")
+  }
+
+  test("q04 training set: both dimension lookups broadcast, no sort-merge join") {
+    assertPlan("q04_training_set",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("SortMergeJoin", "CartesianProduct"))
+  }
+
+  test("q13 top-k plans as TakeOrderedAndProject (no global sort)") {
+    assertPlan("q13_topk", mustContain = Seq("TakeOrderedAndProject"))
+  }
+
+  test("q29 brute-force cosine stays a codegen'd scan + TakeOrderedAndProject") {
+    assertPlan("q29_cosine_topk",
+      mustContain = Seq("TakeOrderedAndProject", "cosinesimilarity"))
+  }
+
+  test("q44 knn join: rank-limit pushdown bounds the window shuffle") {
+    assertPlan("q44_knn_join",
+      mustContain = Seq("WindowGroupLimit", "BroadcastNestedLoopJoin"),
+      mustNot = Seq("CartesianProduct"))
+  }
+
+  test("q35 exact near-dup: broadcast nested loop, never a cartesian product") {
+    assertPlan("q35_embedding_neardup",
+      mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"))
+  }
+
+  test("q34 IVF probe reads the persisted assignment, no KMeans in the plan") {
+    // The probe must hit the cached index (InMemory scan), and the quantizer
+    // fit must not appear anywhere in the query plan.
+    assertPlan("q34_ivf_topk",
+      mustContain = Seq("InMemory", "TakeOrderedAndProject"))
+  }
+
+  test("q01 pricing summary: partial aggregation before the shuffle") {
+    // HashAggregate appears twice (partial + final) around one Exchange.
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q46 as-of join: single shuffle window plan, no range-join explosion") {
+    assertPlan("q46_asof_enrich",
+      mustContain = Seq("Window"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  private def scanColumns(q: String, table: String): String = {
+    val p = plan(q)
+    p.linesIterator.find(l => l.contains("ReadSchema") && p.contains(table))
+      .getOrElse("")
+  }
+
+  test("q25 token stats: parquet scan pruned to the referenced columns only") {
+    // documents has (doc_id, text, lang, source, n_chars); the query needs
+    // doc_id + text — lang/source/n_chars must not be read.
+    val schemaLine = scanColumns("q25_token_stats", "documents")
+    assert(schemaLine.contains("doc_id") && schemaLine.contains("text"))
+    assert(!schemaLine.contains("n_chars") && !schemaLine.contains("source"),
+      s"column pruning failed: $schemaLine")
+  }
+}
