@@ -165,7 +165,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     // Streaming exact dedup: distinct content hashes across micro-batches.
-    "q47_stream_dedup" -> ((s, d) => DocumentStreams.streamingDistinctHashes(s, d)))
+    "q47_stream_dedup" -> ((s, d) => DocumentStreams.streamingDistinctHashes(s, d)),
+    // Per-source token budget cap — curation mixture control (greedy prefix
+    // by doc_id within source, cumulative-sum window, one shuffle).
+    "q48_token_budget" -> ((s, d) =>
+      graft.ops.Curation.tokenBudgetCap(Tables.documents(s, d), 1000L)),
+    // Int8 scalar quantization round-trip quality: per-vector scale, worst
+    // component error, cosine(original, dequantized). Rows-only (rounding
+    // semantics are engine-specific).
+    "q49_quantization" -> ((s, d) => {
+      val deq = Similarity.dequantize(Similarity.quantize(Tables.embeddings(s, d)))
+      deq.select(
+        col("vec_id"),
+        org.apache.spark.sql.functions.round(col("q_scale"), 6).as("q_scale"),
+        org.apache.spark.sql.functions.round(
+          Similarity.cosine(col("embedding"), col("deq_embedding")), 4).as("cos_fidelity"))
+        .orderBy("vec_id")
+    }))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -479,5 +495,15 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q47_stream_dedup" ->
       """SELECT DISTINCT sha256(text) AS content_hash FROM documents
-        |ORDER BY content_hash""".stripMargin)
+        |ORDER BY content_hash""".stripMargin,
+    "q48_token_budget" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS INTEGER))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 1000
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -241,6 +241,33 @@ object Similarity {
     }
   }
 
+  // ---- storage quantization -------------------------------------------------
+
+  /** Symmetric int8 scalar quantization of the embedding column: per-vector
+    * scale = max|xᵢ|/127, components rounded to `tinyint`. Cuts embedding
+    * storage (and scan bytes) 4× — at 100 TB the difference between an ANN
+    * index that fits hot storage and one that doesn't. Quantization error
+    * is bounded by scale/2 per component; cosine distortion for 64-dim unit
+    * vectors is ≈1e-4, far below any near-dup threshold. Zero vectors get
+    * scale 0 and all-zero codes. All array HOFs — one narrow pass. */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val scale =
+      (aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))) / lit(127.0)).as("q_scale")
+    graft.ops.Partitioning.spread(embeddings)
+      .withColumn("q_scale", scale)
+      .withColumn("q_embedding",
+        when(col("q_scale") === 0.0,
+          transform(col("embedding"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("embedding").cast("array<double>"),
+            x => round(x / col("q_scale")).cast("byte"))))
+  }
+
+  /** Reconstruct approximate float embeddings from int8 codes + scale. */
+  def dequantize(quantized: DataFrame): DataFrame =
+    quantized.withColumn("deq_embedding",
+      transform(col("q_embedding"), v => (v.cast("double") * col("q_scale"))))
+
   // ---- near-duplicate pairs -------------------------------------------------
 
   /** Above this threshold near-dup candidates are generated by AND-composed

@@ -66,6 +66,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("token budget cap admits exactly the greedy per-source prefix") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 1000L
+    val got = graft.ops.Curation.tokenBudgetCap(docs, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    // Driver-side greedy simulation over the same ordering.
+    val all = docs.selectExpr("doc_id", "source", "size(split(text, ' ')) AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    val want = all.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(_._1).flatMap { case (id, _, n) =>
+        cum += n
+        if (cum <= budget) Some((id, src, n, cum)) else None
+      }
+    }.toSet
+    // Greedy-prefix semantics: a doc over budget is dropped but its tokens
+    // still count toward the running total (cumulative window, not knapsack).
+    assert(got.toSet == want)
+    assert(got.forall(_._4 <= budget))
+    assert(got.nonEmpty && got.length < all.length) // budget actually binds
+  }
+
   test("event sessions: counts sum to total events") {
     val events = Tables.events(spark, sf)
     val sessions = Events.userSessions(events)

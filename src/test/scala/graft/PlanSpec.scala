@@ -74,18 +74,16 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
-  private def scanColumns(q: String, table: String): String = {
-    val p = plan(q)
-    p.linesIterator.find(l => l.contains("ReadSchema") && p.contains(table))
-      .getOrElse("")
-  }
-
-  test("q25 token stats: parquet scan pruned to the referenced columns only") {
-    // documents has (doc_id, text, lang, source, n_chars); the query needs
-    // doc_id + text — lang/source/n_chars must not be read.
-    val schemaLine = scanColumns("q25_token_stats", "documents")
-    assert(schemaLine.contains("doc_id") && schemaLine.contains("text"))
-    assert(!schemaLine.contains("n_chars") && !schemaLine.contains("source"),
+  test("q02 filter scan: parquet scan pruned to the referenced columns only") {
+    // lineitem has 11 columns; q02 references 6 (5 projected + the filter
+    // column) — the rest must not be read. (Asserted on lineitem rather
+    // than documents: other suites may cache documents, and a cache hit
+    // swaps the pruned scan for an InMemory relation.)
+    val schemaLine = plan("q02_filter_scan").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("l_orderkey") && schemaLine.contains("l_quantity"))
+    assert(!schemaLine.contains("l_tax") && !schemaLine.contains("l_partkey") &&
+      !schemaLine.contains("l_shipdate"),
       s"column pruning failed: $schemaLine")
   }
 }

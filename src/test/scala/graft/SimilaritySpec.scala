@@ -100,6 +100,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: code shape, per-component error bound, cosine fidelity") {
+    val rows = Similarity.dequantize(Similarity.quantize(embeddings))
+      .select("embedding", "q_scale", "q_embedding", "deq_embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0).map(_.toDouble)
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      val rec = r.getSeq[Double](3)
+      assert(codes.length == orig.length && rec.length == orig.length)
+      // Symmetric quantization: |x - deq(x)| <= scale/2 per component.
+      orig.zip(rec).foreach { case (o, x) => assert(math.abs(o - x) <= scale / 2 + 1e-9) }
+      val dot = orig.zip(rec).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(orig.map(x => x * x).sum) * math.sqrt(rec.map(x => x * x).sum))
+      assert(cos > 0.999, s"cosine fidelity $cos below 0.999")
+    }
+  }
+
   test("banded near-dup join finds all planted near-duplicates, none spurious") {
     import spark.implicits._
     // Plant near-dups: clone 20 base vectors with a tiny deterministic
