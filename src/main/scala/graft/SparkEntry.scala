@@ -111,6 +111,8 @@ object SparkEntry {
     // which is SQL-expressible — so q35 carries a full DuckDB oracle.
     "q35_embedding_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
+    // Integer profile weights make lang-id scores engine-exact, so this
+    // carries a full DuckDB oracle (see TextOps.languageId docs).
     "q36_lang_id" -> ((s, d) =>
       TextOps.languageId(Tables.documents(s, d), Tables.documents(s, d))),
     "q37_multimodal_features" -> ((s, d) =>
@@ -435,6 +437,29 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q36_lang_id" ->
+      """WITH tok_df AS (
+        |  SELECT lang, tok, COUNT(*) AS df FROM (
+        |    SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok),
+        |profile AS (
+        |  SELECT lang AS profile_lang, tok, CAST(51 - rank AS BIGINT) AS weight
+        |  FROM (SELECT lang, tok,
+        |          row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok) AS rank
+        |        FROM tok_df)
+        |  WHERE rank <= 50),
+        |doc_toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, profile_lang, CAST(SUM(weight) AS BIGINT) AS score
+        |  FROM doc_toks JOIN profile USING (tok)
+        |  GROUP BY doc_id, lang, profile_lang)
+        |SELECT doc_id, lang AS actual_lang, profile_lang AS predicted_lang,
+        |  lang = profile_lang AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, profile_lang) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q38_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          |  COUNT(*) AS n_events,

@@ -237,7 +237,14 @@ object TextOps {
     * is an explode + broadcast join + argmax — no driver-side loops over
     * data rows. `labelled` provides the training corpus (here the same
     * table; in production a held-out labelled set).
-    */
+    *
+    * Weights are INTEGER rank weights (`topN + 1 − rank`, linear decay):
+    * integer sums are exact in any engine, so scores — and therefore the
+    * argmax — are bit-identical cross-engine and the whole operator is
+    * oracle-checkable (harmonic 1/rank float weights would make near-tie
+    * ordering depend on accumulation order). All ordering ties break
+    * deterministically (token asc in the profile, language asc in the
+    * argmax). */
   def languageId(documents: DataFrame, labelled: DataFrame, topN: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tokenFreq = graft.ops.Partitioning.spread(labelled)
@@ -247,7 +254,8 @@ object TextOps {
     val profile = tokenFreq
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
-      .select(col("lang").as("profile_lang"), col("tok"), (lit(1.0) / col("rank")).as("weight"))
+      .select(col("lang").as("profile_lang"), col("tok"),
+        (lit(topN + 1) - col("rank")).cast("long").as("weight"))
     val docTokens = graft.ops.Partitioning.spread(documents)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
     val scored = docTokens
