@@ -29,10 +29,12 @@ object Bench {
       // estimate of the query's true cost; the cache is cleared between runs
       // so the second pass redoes the work instead of replaying cached
       // blocks — we measure the plan, not the block manager.
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -43,13 +45,20 @@ object Bench {
       }
       val dt = times.min
       System.err.println(
-        f"[bench] $name%-28s $dt%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> dt
+        f"[bench] $name%-28s $dt%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})" +
+          (if (failed) "  FAILED" else ""))
+      (name, dt, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // A failed query's time-to-exception is NOT a measurement — reporting it
+    // would let a fast failure masquerade as a fast query. Failures are
+    // excluded from `queries`/total and listed explicitly.
+    val ok = results.collect { case (k, v, false) => k -> v }
+    val failedNames = results.collect { case (k, _, true) => k }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,11 +47,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     trainingSetAssembly(spark, "/root/testdata/sf0.001")
 
-  /** Session-lifetime IVF index per corpus dir (see q34). */
+  /** Session-lifetime IVF index per corpus dir (see q34). Keyed by the
+    * building session too: an index holds DataFrames bound to one session,
+    * so a cached entry must never be served to a different (or restarted)
+    * session — it is rebuilt instead. */
   private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Similarity.IvfIndex)]
   private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
-    ivfIndexes.getOrElseUpdate(d, Similarity.buildIvf(Tables.embeddings(s, d)))
+    ivfIndexes.get(d) match {
+      case Some((owner, idx)) if owner eq s => idx
+      case _ =>
+        val idx = Similarity.buildIvf(Tables.embeddings(s, d))
+        ivfIndexes.put(d, (s, idx))
+        idx
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -46,11 +46,13 @@ final class CatalogFeatureStore(
       .getOrElse(sys.error(s"DESCRIBE DATABASE $database returned no Location"))
 
   /** File names a Spark parquet table write leaves behind. Orphan cleanup
-    * (below) refuses to touch a directory holding anything else. */
+    * (below) refuses to touch a directory holding anything else — the list
+    * is intentionally exact (no blanket dot-file rule: a hidden user file
+    * like `.env` is NOT a table remnant and must be protected). */
   private def isTableRemnant(fileName: String): Boolean =
     fileName == "_SUCCESS" || fileName.endsWith(".parquet") ||
-      fileName.endsWith(".parquet.crc") || fileName.startsWith("_committed") ||
-      fileName.startsWith("_started") || fileName.startsWith(".")
+      fileName.endsWith(".crc") || fileName.startsWith("_committed") ||
+      fileName.startsWith("_started")
 
   /** Register `df` as `database.name` with the same PK contract as the
     * path-backed store (uniqueness enforced distributed, at write time).
@@ -89,6 +91,7 @@ final class CatalogFeatureStore(
       s"""ALTER TABLE ${fullName(name)} SET TBLPROPERTIES (
          |  'graft.primaryKeys' = '${primaryKeys.mkString(",").replace("'", "''")}',
          |  'graft.description' = '${description.replace("'", "''")}')""".stripMargin)
+    invalidatePointIndex(name) // a rewrite must not leave a stale broadcast
     FeatureTable(name, primaryKeys, description, df.schema, fullName(name))
   }
 
@@ -111,7 +114,8 @@ final class CatalogFeatureStore(
 
   /** Idempotent drop (reference: 01_feature_table_creation.py:153-160). */
   def dropTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${fullName(name)}"); ()
+    spark.sql(s"DROP TABLE IF EXISTS ${fullName(name)}")
+    invalidatePointIndex(name)
   }
 
   def listTables(): Seq[String] =

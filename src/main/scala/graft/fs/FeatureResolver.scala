@@ -56,15 +56,16 @@ trait FeatureResolver {
   private def buildPointIndex(name: String): Broadcast[Map[Seq[Any], Row]] = {
     val ft = getTable(name)
     require(ft.primaryKeys.nonEmpty, s"lookupOne($name): table has no primary keys")
-    val df = readTable(name)
-    val n = df.count()
-    require(n <= FeatureResolver.MaxPointLookupRows,
-      s"lookupOne($name): table has $n rows, above the " +
+    // Single bounded read: limit(max+1) both enforces the broadcast bound
+    // and avoids a separate count job — this is the one place the store
+    // intentionally materializes a (dimension) table driver-side.
+    val rows = readTable(name)
+      .limit((FeatureResolver.MaxPointLookupRows + 1).toInt).collect()
+    require(rows.length <= FeatureResolver.MaxPointLookupRows,
+      s"lookupOne($name): table exceeds the " +
         s"${FeatureResolver.MaxPointLookupRows}-row broadcast bound — a table " +
         "this size needs a real online store (or a keyed parquet point query)")
-    // Bounded collect by the guard above — this is the one place the store
-    // intentionally materializes a (dimension) table driver-side.
-    val keyed = df.collect().map { r =>
+    val keyed = rows.map { r =>
       ft.primaryKeys.map(k =>
         FeatureResolver.normalizeKeyValue(r.get(r.fieldIndex(k)))).toSeq -> r
     }.toMap

@@ -63,6 +63,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
     val ft = FeatureTable(name, primaryKeys, description, df.schema, path)
     writeMeta(ft)
     registry.put(name, ft)
+    invalidatePointIndex(name) // a rewrite must not leave a stale broadcast
     ft
   }
 
@@ -80,6 +81,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
   /** Idempotent drop (reference: 01_feature_table_creation.py:153-160). */
   def dropTable(name: String): Unit = {
     registry.remove(name)
+    invalidatePointIndex(name)
     val p = new org.apache.hadoop.fs.Path(tablePath(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }

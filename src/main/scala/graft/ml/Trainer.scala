@@ -85,11 +85,22 @@ object Trainer {
     *    (duplicate leakage guard) but surprises otherwise — supply
     *    `keyColumns` when the frame has no unique key and duplicates exist.
     *    Map-typed columns are excluded (xxhash64 cannot hash maps).
+    *
+    * Stratification is STATISTICAL, not enforced: the label never enters
+    * the assignment — per-class proportions follow from hash uniformity
+    * within each class (binomial error above). That guarantee weakens when
+    * the hash unit correlates with the label (e.g. `keyColumns` = an
+    * entity key whose entities share labels): group-integrity and exact
+    * stratification are fundamentally at odds, and this splitter always
+    * chooses group integrity. `labelColumn` is validated and documented
+    * here so callers know which contract they are getting.
     */
   def stratifiedSplit(df: DataFrame, labelColumn: String, trainFraction: Double = 0.8,
       seed: Long = 42L, keyColumns: Seq[String] = Nil): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.MapType
+    require(df.columns.contains(labelColumn),
+      s"stratifiedSplit: label column $labelColumn not in frame")
     val hashCols =
       if (keyColumns.nonEmpty) {
         val missing = keyColumns.filterNot(df.columns.contains)

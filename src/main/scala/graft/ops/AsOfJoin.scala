@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *   2. one window per key ordered by (ts, tag DESC) — the feature row
   *      sorts BEFORE any fact at the same timestamp, making the join
   *      inclusive (ts_feature = ts_fact applies);
-  *   3. running `last(feature, ignoreNulls)` over rows unbounded-preceding
-  *      → every fact row sees exactly the most recent feature values;
+  *   3. running `last(feature-version-struct, ignoreNulls)` over rows
+  *      unbounded-preceding → every fact row sees exactly the most recent
+  *      feature VERSION (all columns from the same version, NULL values
+  *      attached as-is — see the struct note in [[asOf]]);
   *   4. keep the fact rows.
   *
   * Cost: ONE shuffle of |facts| + |features| rows keyed by the join key —
@@ -51,29 +53,41 @@ object AsOfJoin {
     require(missingT.isEmpty, s"asOf: feature columns missing: ${missingT.mkString(", ")}")
 
     val factPayload = facts.columns.toSeq.filterNot(keys.contains)
-    def featType(c: String) = features.schema(c).dataType
+    // The whole feature version travels as ONE struct, and the running
+    // `last` picks the struct, not each column independently. This is what
+    // gives real as-of semantics: a version whose value is NULL is still
+    // the version that applies (its NULL must be attached, not backfilled
+    // from an older version), and multiple feature columns always come
+    // from the SAME version — never a column-wise mix of versions.
+    val featStructType = org.apache.spark.sql.types.StructType(
+      featureCols.map(c => org.apache.spark.sql.types.StructField(
+        c, features.schema(c).dataType, nullable = true)))
 
     val taggedFacts = facts.select(
       (keys.map(col) ++
-        Seq(col(factTime).as("__ts"), lit(0).as("__isFeat")) ++
-        factPayload.map(col) ++
-        featureCols.map(c => lit(null).cast(featType(c)).as(s"__feat_$c"))): _*)
-    val taggedFeats = features.select(
-      (keys.map(col) ++
-        Seq(col(featureTime).as("__ts"), lit(1).as("__isFeat")) ++
-        factPayload.map(c => lit(null).cast(facts.schema(c).dataType).as(c)) ++
-        featureCols.map(c => col(c).as(s"__feat_$c"))): _*)
+        Seq(col(factTime).as("__ts"), lit(0).as("__isFeat"),
+          lit(null).cast(featStructType).as("__feat")) ++
+        factPayload.map(col)): _*)
+    val taggedFeats = features
+      // A NULL-timestamp version can never satisfy ts_feature <= ts_fact
+      // (matches SQL ASOF, where the comparison with NULL is false) — it
+      // must not sort nulls-first and apply "since forever".
+      .filter(col(featureTime).isNotNull)
+      .select(
+        (keys.map(col) ++
+          Seq(col(featureTime).as("__ts"), lit(1).as("__isFeat"),
+            struct(featureCols.map(col): _*).as("__feat")) ++
+          factPayload.map(c => lit(null).cast(facts.schema(c).dataType).as(c))): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__isFeat").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled: Seq[Column] = featureCols.map(c =>
-      last(col(s"__feat_$c"), ignoreNulls = true).over(w).as(c))
+    val attached: Seq[Column] = featureCols.map(c => col("__last_feat").getField(c).as(c))
 
     taggedFacts.unionByName(taggedFeats)
-      .select((keys.map(col) ++ factPayload.map(col) ++ filled :+ col("__isFeat")): _*)
+      .withColumn("__last_feat", last(col("__feat"), ignoreNulls = true).over(w))
       .filter(col("__isFeat") === 0)
-      .drop("__isFeat")
+      .select((keys.map(col) ++ factPayload.map(col) ++ attached): _*)
   }
 }

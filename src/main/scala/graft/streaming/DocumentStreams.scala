@@ -51,6 +51,6 @@ object DocumentStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("content_hash")
+    EventStreams.settle(spark, name, spark.table(name).orderBy("content_hash"))
   }
 }

@@ -64,7 +64,7 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("window_start")
+    EventStreams.settle(spark, name, spark.table(name).orderBy("window_start"))
   }
 
   /** Custom streaming state via `flatMapGroupsWithState` (SURVEY.md §2.10;
@@ -116,10 +116,25 @@ object EventStreams {
     // Settle: keep the final (highest-running-count) emission per user.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
-    spark.table(name)
+    val settled = spark.table(name)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
       .orderBy("user_id")
+    EventStreams.settle(spark, name, settled)
+  }
+
+  /** Detach a settled result from its memory sink: the sink's temp view
+    * pins the FULL emission history in driver memory for the session's
+    * lifetime, so repeated invocations (bench best-of-2, test suites) would
+    * accumulate copies without bound. The settled output is the bounded
+    * verification artifact — materialize it locally, drop the view. */
+  private[streaming] def settle(spark: SparkSession, sinkName: String,
+      result: DataFrame): DataFrame = {
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(sinkName)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 }

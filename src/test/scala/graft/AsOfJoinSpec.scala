@@ -43,6 +43,30 @@ class AsOfJoinSpec extends SparkSpec {
       6L -> None))       // key 30 has no features at all
   }
 
+  test("a version's NULL value is attached as NULL, never backfilled from older versions") {
+    val feats = Seq(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(1.0), Some("x")),
+      (10L, Some(ts("2024-01-01 11:00:00")), None, Some("y")), // value NULLed in v2
+      (10L, None, Some(99.0), Some("z")))                      // NULL ts: never applies
+      .toDF("user_id", "fts", "score", "tag2")
+    val fact = Seq((1L, 10L, ts("2024-01-01 12:00:00"), "a"))
+      .toDF("fact_id", "user_id", "ts", "tag")
+    val row = AsOfJoin.asOf(fact, feats, Seq("user_id"), "ts", "fts",
+      Seq("score", "tag2")).collect().head
+    // The 11:00 version applies: its score is NULL (not 1.0 from 10:00),
+    // and BOTH columns come from that same version.
+    assert(row.isNullAt(row.fieldIndex("score")))
+    assert(row.getAs[String]("tag2") == "y")
+
+    // A fact before any feature sees nothing — in particular not the
+    // NULL-timestamp row, which must never match (SQL ASOF semantics).
+    val early = Seq((2L, 10L, ts("2024-01-01 09:00:00"), "b"))
+      .toDF("fact_id", "user_id", "ts", "tag")
+    val er = AsOfJoin.asOf(early, feats, Seq("user_id"), "ts", "fts",
+      Seq("score", "tag2")).collect().head
+    assert(er.isNullAt(er.fieldIndex("score")) && er.isNullAt(er.fieldIndex("tag2")))
+  }
+
   test("as-of join keeps every fact row and all fact columns (left semantics)") {
     val out = AsOfJoin.asOf(facts, features, Seq("user_id"), "ts", "fts", Seq("score"))
     assert(out.count() == facts.count())

@@ -100,6 +100,17 @@ class CatalogStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("user_notes.txt"))
     assert(loc.toPath.resolve("user_notes.txt").toFile.exists()) // untouched
 
+    // Hidden user files are NOT remnants either (no blanket dot-file rule).
+    java.nio.file.Files.delete(loc.toPath.resolve("user_notes.txt"))
+    java.nio.file.Files.write(loc.toPath.resolve(".env"), "SECRET=1".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      store.createTable("precious_tbl", Seq("id"), df)
+    }
+    assert(loc.toPath.resolve(".env").toFile.exists())
+    java.nio.file.Files.delete(loc.toPath.resolve(".env"))
+    java.nio.file.Files.write(loc.toPath.resolve("user_notes.txt"),
+      "not a table remnant".getBytes("UTF-8"))
+
     // Genuine remnants (parquet files from a forgotten table) ARE cleared.
     java.nio.file.Files.delete(loc.toPath.resolve("user_notes.txt"))
     java.nio.file.Files.write(loc.toPath.resolve("part-0000.snappy.parquet"),

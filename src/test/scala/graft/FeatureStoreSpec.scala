@@ -89,6 +89,19 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.lookupOne("point_lookup", 99999).isEmpty)
   }
 
+  test("lookupOne never serves stale data after a table rewrite or drop") {
+    import spark.implicits._
+    store.createTable("mutable_tbl", Seq("id"),
+      Seq((1, "old")).toDF("id", "v"))
+    assert(store.lookupOne("mutable_tbl", 1).get.getAs[String]("v") == "old")
+    // Rewrite: the broadcast index must be invalidated, not served stale.
+    store.createTable("mutable_tbl", Seq("id"),
+      Seq((1, "new")).toDF("id", "v"))
+    assert(store.lookupOne("mutable_tbl", 1).get.getAs[String]("v") == "new")
+    store.dropTable("mutable_tbl")
+    intercept[Exception] { store.lookupOne("mutable_tbl", 1) } // table gone
+  }
+
   test("CSV schema inference matches the reference expectation") {
     val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
     val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
