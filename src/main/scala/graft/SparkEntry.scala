@@ -181,6 +181,19 @@ object SparkEntry {
     // by doc_id within source, cumulative-sum window, one shuffle).
     "q48_token_budget" -> ((s, d) =>
       graft.ops.Curation.tokenBudgetCap(Tables.documents(s, d), 1000L)),
+    // Frame sampling over media payloads (stub codec, real fan-out shape):
+    // per-media sampled-frame accounting. Rows-only (byte-slice stub).
+    "q50_frame_sample" -> ((s, d) => {
+      val frames = Multimodal.sampleFrames(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), maxFrames = 4).toDF()
+      frames.groupBy(col("media_id"))
+        .agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_sampled"),
+          org.apache.spark.sql.functions.max(col("n_frames")).as("n_frames"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.octet_length(col("frame"))).as("sampled_bytes"))
+        .orderBy("media_id")
+    }),
     // Int8 scalar quantization round-trip quality: per-vector scale, worst
     // component error, cosine(original, dequantized). Rows-only (rounding
     // semantics are engine-specific).

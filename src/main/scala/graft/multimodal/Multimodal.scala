@@ -100,6 +100,86 @@ object Multimodal {
       }
   }
 
+  /** A sampled frame: parent media id, frame position, frame payload. */
+  final case class FrameRow(media_id: Long, frame_idx: Int, n_frames: Int, frame: Array[Byte])
+
+  /** REAL image resize (pure JVM, offline): decode via javax.imageio,
+    * bilinear-rescale on a Graphics2D canvas, re-encode as PNG. Returns
+    * None for non-image payloads (caller passes them through untouched).
+    */
+  private[multimodal] def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scaled = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch image resize over a media table: images are decoded, rescaled
+    * and re-encoded for real; non-image payloads pass through untouched
+    * (n_bytes updated either way). Partition-batched like
+    * [[extractFeatures]] — decoder setup amortizes across a task's rows. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("mime"), col("n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload, mime, _) =>
+          val out = resizeImage(payload, w, h).getOrElse(payload)
+          MediaRow(id, out, mime, out.length.toLong)
+        }
+      }
+  }
+
+  /** Frame size (bytes) the stub frame extractor slices on. */
+  val StubFrameBytes = 256
+
+  /** Evenly-spaced frame sampling over "video" payloads — the standard
+    * pre-processing step before per-frame feature extraction at corpus
+    * scale (decode every Nth frame, never the whole video).
+    *
+    * Frame DECODE is a STUB (a bare JVM ships no video codecs): the
+    * payload is treated as `ceil(len/256)` concatenated 256-byte frames
+    * and a sampled frame is the corresponding byte slice — deterministic
+    * and shape-faithful, so the Spark-side contract (one output row per
+    * sampled frame, partition-batched, bounded `maxFrames` fan-out) is
+    * fully real and tested. A production build swaps the slicing for a
+    * codec's keyframe iterator; nothing else changes. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, maxFrames: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(maxFrames >= 1, "sampleFrames: maxFrames must be >= 1")
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // Real codec initialization would happen once per partition here.
+        rows.flatMap { case (id, payload) =>
+          val n = math.max(1, (payload.length + StubFrameBytes - 1) / StubFrameBytes)
+          val k = math.min(maxFrames, n)
+          // Evenly spaced, always including the first frame; distinct
+          // because the index sequence is strictly increasing for k <= n.
+          val indices =
+            if (k == 1) Seq(0)
+            else (0 until k).map(j => ((n - 1).toLong * j / (k - 1)).toInt).distinct
+          indices.map { i =>
+            val from = i * StubFrameBytes
+            val until = math.min(payload.length, from + StubFrameBytes)
+            FrameRow(id, i, n, java.util.Arrays.copyOfRange(payload, from, until))
+          }
+        }
+      }
+  }
+
   /** End-to-end: media table → features → per-mime stats (exercises the
     * typed path back into relational aggregation). */
   def mediaFeatureStats(spark: SparkSession, documents: DataFrame, dim: Int = 16): DataFrame = {

@@ -47,6 +47,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats(2)(0) == 0.5f && feats(2)(15) == 0.5f)
   }
 
+  test("image resize really rescales: 16x16 PNG in, 8x8 PNG out") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((1L, png, "image/png", png.length.toLong))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val out = Multimodal.resizeImages(spark, media, 8, 8).collect().head
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(decoded.getWidth == 8 && decoded.getHeight == 8)
+    assert(out.n_bytes == out.payload.length.toLong)
+    // Non-image payloads pass through byte-identical.
+    val txt = "not an image".getBytes("UTF-8")
+    val media2 = Seq((2L, txt, "text/plain", txt.length.toLong))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    assert(Multimodal.resizeImages(spark, media2, 8, 8).collect().head.payload.toSeq == txt.toSeq)
+  }
+
+  test("frame sampling: bounded evenly-spaced fan-out, exact byte slices") {
+    import spark.implicits._
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte) // 4 frames (256B each)
+    val media = Seq((7L, payload, "video/raw", 1000L))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val frames = Multimodal.sampleFrames(spark, media, maxFrames = 3).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 3)                       // min(maxFrames, 4)
+    assert(frames.map(_.n_frames).toSet == Set(4))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 3)) // evenly spaced incl. ends
+    assert(frames.head.frame.toSeq == payload.slice(0, 256).toSeq)
+    assert(frames.last.frame.toSeq == payload.slice(768, 1000).toSeq)
+    // A payload smaller than one frame yields exactly one whole-payload frame.
+    val tiny = Seq((8L, Array[Byte](1, 2, 3), "video/raw", 3L))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val tf = Multimodal.sampleFrames(spark, tiny, maxFrames = 4).collect()
+    assert(tf.length == 1 && tf.head.frame.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("non-image payloads fall back to the deterministic stub kernel") {
     import spark.implicits._
     val bytes = "definitely not an image".getBytes("UTF-8")
