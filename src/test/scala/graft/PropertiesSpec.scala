@@ -40,6 +40,47 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: as-of join equals the brute-force reference on random data") {
+    val factGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 4); t <- Gen.choose(0L, 20L)
+    } yield (k, t))
+    val featGen = Gen.listOf(for {
+      k <- Gen.choose(0, 4); t <- Gen.choose(0L, 20L); v <- Gen.choose(0, 99)
+    } yield (k, t, v))
+    check(Prop.forAll(factGen, featGen) { (factRows, featRowsRaw) =>
+      // Feature versions unique per (key, ts) — the documented contract.
+      val featRows = featRowsRaw.groupBy(r => (r._1, r._2))
+        .map(_._2.maxBy(_._3)).toList
+      val facts = factRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("fact_id", "k", "ts")
+      val features = featRows.toDF("k", "fts", "v")
+      val got = graft.ops.AsOfJoin.asOf(facts, features, Seq("k"), "ts", "fts", Seq("v"))
+        .collect()
+        .map(r => r.getAs[Long]("fact_id") -> Option(r.get(r.fieldIndex("v")))).toMap
+      val want = factRows.zipWithIndex.map { case ((k, t), i) =>
+        val eligible = featRows.filter(f => f._1 == k && f._2 <= t)
+        i.toLong -> (if (eligible.isEmpty) None
+                     else Some(eligible.maxBy(_._2)._3))
+      }.toMap
+      got == want
+    })
+  }
+
+  test("property: winnowing fingerprints are shift-invariant on shared cores") {
+    // Winnowing guarantee (Schleimer et al.): substrings of length >=
+    // window + k - 1 shared between two docs always share a fingerprint.
+    val wordGen = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    check(Prop.forAll(Gen.listOfN(12, wordGen), Gen.listOfN(3, wordGen)) {
+      (coreWords, prefixWords) =>
+        val core = coreWords.mkString(" ")
+        val docs = Seq((1L, core), (2L, prefixWords.mkString(" ") + " " + core))
+          .toDF("doc_id", "text")
+        val fps = graft.text.TextOps.winnowingFingerprints(docs).collect()
+          .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+        (fps(1) & fps(2)).nonEmpty
+    })
+  }
+
   test("property: random split partitions the data for any seed") {
     check(Prop.forAll(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)) { (seed: Long) =>
       val df = (1 to 200).map(i => (i, i % 2)).toDF("id", "label")
