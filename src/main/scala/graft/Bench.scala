@@ -22,7 +22,15 @@ object Bench {
     // query, not first-use compilation of the whole SQL stack.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q28_...,q32_... times just
+    // those queries. Unset (the driver's invocation) => full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Best-of-2 per query: a single timed pass is defenseless against
       // co-tenant machine load (transient contention inflates one run by an
       // order of magnitude). The minimum of two independent runs is a robust
@@ -30,7 +38,7 @@ object Bench {
       // so the second pass redoes the work instead of replaying cached
       // blocks — we measure the plan, not the block manager.
       var failed = false
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -43,6 +51,14 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      val base = Seq(once(), once())
+      // Adaptive third run: when the two timings disagree by >2x, the
+      // machine was contended during at least one of them (co-tenant CPU
+      // steal stretched wall time) — a third sample keeps one transient
+      // spike from poisoning the min. Bounded: at most one extra run, only
+      // for queries whose own evidence shows interference.
+      val times =
+        if (!failed && base.max > 2 * base.min + 0.5) base :+ once() else base
       val dt = times.min
       System.err.println(
         f"[bench] $name%-28s $dt%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})" +

@@ -205,7 +205,49 @@ object SparkEntry {
         org.apache.spark.sql.functions.round(
           Similarity.cosine(col("embedding"), col("deq_embedding")), 4).as("cos_fidelity"))
         .orderBy("vec_id")
-    }))
+    }),
+    // Exact grouped percentiles (continuous interpolation) — oracle-checked
+    // against DuckDB quantile_cont; approx_percentile is the documented
+    // high-cardinality scale path (see Relational.quantityPercentiles).
+    "q51_percentiles" -> ((s, d) => Relational.quantityPercentiles(Tables.lineitem(s, d))),
+    // RAG sliding-window chunking: 32-token chunks, 8-token overlap.
+    "q52_chunking" -> ((s, d) => TextOps.chunkDocuments(Tables.documents(s, d))),
+    // BM25 keyword retrieval, top-20. Scores are pivoted per term and summed
+    // in fixed term order so the rounded value is engine-portable.
+    "q53_bm25" -> ((s, d) =>
+      graft.text.Search.bm25TopK(Tables.documents(s, d), Bm25Terms, 20)),
+    // Benchmark decontamination: 8-gram collisions between the training
+    // split (doc_id % 20 != 0) and the held-out benchmark split.
+    "q54_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramContamination(
+        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), org.apache.spark.sql.functions.lit(20)) =!= 0),
+        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), org.apache.spark.sql.functions.lit(20)) === 0))
+    }),
+    // Deterministic mixture resampling: 2.5 epochs of src0, half of src1,
+    // src2 dropped, everything else kept as-is.
+    "q55_mixture_sample" -> ((s, d) =>
+      graft.ops.Curation.mixtureSample(Tables.documents(s, d), MixtureRates)),
+    // Mergeable HLL distinct sketches per source + sketch-union total.
+    // Rows-only (estimates are implementation-specific); SketchesSpec bounds
+    // the relative error vs the exact counts this query also carries.
+    "q56_distinct_sketch" -> ((s, d) => graft.ops.Sketches.tokenDistinctSketch(Tables.documents(s, d))),
+    // Equi-join with a date-range residual: revenue shipped within 30 days
+    // of the order date.
+    "q57_range_join" -> ((s, d) =>
+      Relational.promptShipRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Normalization-invariant dedup (case/punctuation/whitespace variants).
+    "q58_normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(Tables.documents(s, d))),
+    // Stream-static enrichment join: micro-batched events joined per batch
+    // to the broadcast customer dimension, per-segment running totals.
+    "q59_stream_enrich" -> ((s, d) => EventStreams.segmentTotalsStream(s, d)))
+
+  /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
+    * over exactly this sequence in both engines). */
+  val Bm25Terms: Seq[String] = Seq("spark", "scan", "merge")
+
+  /** Per-source sampling rates (percent) for q55. */
+  val MixtureRates: Map[String, Int] = Map("src0" -> 250, "src1" -> 50, "src2" -> 0)
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -552,5 +594,106 @@ object SparkEntry {
         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 1000
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q51_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // stride = chunkSize - overlap = 24; chunk i covers tokens
+    // [i*24+1, i*24+32] (1-based inclusive list_slice).
+    "q52_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    greatest(1, CAST(ceil((len(string_split(text, ' ')) - 8) / 24.0) AS BIGINT)) AS n_chunks
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_id FROM t),
+        |c2 AS (
+        |  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |    array_to_string(list_slice(w, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_id, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_chunk_tokens
+        |FROM c2 ORDER BY doc_id, chunk_id""".stripMargin,
+    // Arithmetic mirrors Search.bm25TopK exactly (same literals, same
+    // association, same fixed left-to-right term-sum order).
+    "q53_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS dl FROM documents),
+        |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs),
+        |toks AS (SELECT doc_id, dl, unnest(w) AS tok FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'scan', 'merge') GROUP BY 1, 2, 3),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1))
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))) AS term_score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN corpus),
+        |piv AS (
+        |  SELECT doc_id, COUNT(*) AS n_matched_terms,
+        |    max(CASE WHEN tok = 'spark' THEN term_score END) AS s1,
+        |    max(CASE WHEN tok = 'scan' THEN term_score END) AS s2,
+        |    max(CASE WHEN tok = 'merge' THEN term_score END) AS s3
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 6) AS bm25,
+        |  n_matched_terms
+        |FROM piv ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q54_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 8 THEN [text]
+        |         ELSE list_transform(range(1, len(w) - 6),
+        |                i -> array_to_string(list_slice(w, i, i + 7), ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+        |bench AS (SELECT doc_id AS bench_doc, sh FROM sh WHERE doc_id % 20 = 0),
+        |train AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 20 <> 0),
+        |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM train GROUP BY sh)
+        |         WHERE df <= 1000),
+        |bsizes AS (SELECT bench_doc, COUNT(*) AS n_bench_grams FROM bench GROUP BY bench_doc),
+        |pairs AS (
+        |  SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+        |  FROM train JOIN rare USING (sh) JOIN bench USING (sh)
+        |  GROUP BY 1, 2)
+        |SELECT train_doc, bench_doc, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / n_bench_grams, 6) AS contaminated_frac
+        |FROM pairs JOIN bsizes USING (bench_doc)
+        |WHERE n_shared >= 1
+        |ORDER BY train_doc, bench_doc""".stripMargin,
+    "q55_mixture_sample" ->
+      """SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM (
+        |  SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch FROM (
+        |    SELECT doc_id, source,
+        |      rate // 100 + CASE WHEN doc_id % 100 < rate % 100 THEN 1 ELSE 0 END AS copies
+        |    FROM (SELECT doc_id, source,
+        |            CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 50
+        |                        WHEN 'src2' THEN 0 ELSE 100 END AS rate
+        |          FROM documents)))
+        |ORDER BY doc_id, epoch""".stripMargin,
+    "q57_range_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem
+         |  ON o_orderkey = l_orderkey
+         |  AND l_shipdate >= o_orderdate
+         |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q58_normalized_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, norm_hash, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT exact_hash) AS n_exact_variants
+        |FROM (SELECT doc_id,
+        |        sha256(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))) AS norm_hash,
+        |        sha256(text) AS exact_hash
+        |      FROM documents)
+        |GROUP BY norm_hash ORDER BY doc_id""".stripMargin,
+    "q59_stream_enrich" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

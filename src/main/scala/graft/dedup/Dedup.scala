@@ -102,6 +102,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination: (train, bench) document pairs sharing at
+    * least `minShared` distinct word `n`-grams — the standard eval-leakage
+    * check run before training (n=8..13 word grams in published pipelines).
+    * Returns every contaminated pair with its collision count plus the
+    * contaminated fraction of the benchmark document's grams, so callers can
+    * threshold on either absolute or relative overlap.
+    *
+    * Scale shape: the benchmark side is the small one (eval suites are
+    * thousands of docs; the training corpus is the 100 TB side), so the join
+    * is keyed by gram with the bench side broadcast-able after its distinct;
+    * grams occurring in more than `maxDocFreq` TRAINING docs are dropped
+    * first — the boilerplate guard that stops a ubiquitous gram from
+    * pairing every training doc with every bench doc. */
+  def ngramContamination(train: DataFrame, bench: DataFrame, n: Int = 8,
+      minShared: Long = 1L, maxDocFreq: Long = 1000L): DataFrame = {
+    val trainGrams = shingled(train, n)
+      .select(col("doc_id").as("train_doc"), explode(array_distinct(col("sh"))).as("sh"))
+    val rare = trainGrams
+      .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("sh")
+    val benchGrams = shingled(bench, n)
+      .select(col("doc_id").as("bench_doc"), explode(array_distinct(col("sh"))).as("sh"))
+    val benchSizes = benchGrams.groupBy(col("bench_doc")).agg(count(lit(1)).as("n_bench_grams"))
+    trainGrams
+      .join(rare, Seq("sh"))
+      .join(benchGrams, Seq("sh"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(benchSizes, Seq("bench_doc"))
+      .withColumn("contaminated_frac",
+        round(col("n_shared").cast("double") / col("n_bench_grams"), 6))
+      .select("train_doc", "bench_doc", "n_shared", "contaminated_frac")
+      .orderBy("train_doc", "bench_doc")
+  }
+
   /** MinHash+LSH near-dup candidate pairs: shingle → hashed term frequencies
     * → MinHash signatures → banded LSH join (`approxSimilarityJoin` blocks
     * on signature bands, so candidates are generated by equi-join, not

@@ -30,4 +30,35 @@ object Curation {
       .filter(col("cum_tokens") <= maxTokensPerSource)
       .orderBy("doc_id")
   }
+
+  /** Deterministic mixture resampling — the other half of mixture control:
+    * per-source sampling/repetition rates in percent. rate 50 keeps half the
+    * docs, 100 keeps all, 250 emits 2 full epochs plus half a third — the
+    * up/down-weighting training-data mixtures are built from ("2.5 epochs of
+    * wiki, 0.3 epochs of web").
+    *
+    * Selection is arithmetic on the document id (`doc_id mod 100 < rate mod
+    * 100` admits the partial epoch), NOT `rand()`: the admitted multiset is
+    * a pure function of the input, so reruns, retried tasks, and the DuckDB
+    * oracle all agree row-for-row — and the filter is a pushed-down scan
+    * predicate, zero shuffle. Each admitted copy carries its `epoch` index
+    * (1-based) so downstream shuffling/interleaving can key on it. */
+  def mixtureSample(documents: DataFrame, ratesPercent: Map[String, Int],
+      defaultPercent: Int = 100): DataFrame = {
+    require((defaultPercent +: ratesPercent.values.toSeq).forall(_ >= 0),
+      "sampling rates must be non-negative")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rates = ratesPercent.toSeq.toDF("source", "__rate")
+    val rate = coalesce(col("__rate"), lit(defaultPercent))
+    val copies = (floor(rate / 100) +
+      when(pmod(col("doc_id"), lit(100)) < rate % 100, 1).otherwise(0)).cast("int")
+    documents
+      .join(broadcast(rates), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), copies.as("__copies"))
+      .select(col("doc_id"), col("source"),
+        explode(when(col("__copies") >= 1, sequence(lit(1), col("__copies")))
+          .otherwise(array().cast("array<int>"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
 }

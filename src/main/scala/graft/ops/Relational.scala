@@ -221,4 +221,44 @@ object Relational {
         sum(discPrice(lineitem)).cast(DoubleType).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Exact grouped percentiles (continuous interpolation — the
+    * `percentile`/`quantile_cont` definition shared by Spark and DuckDB):
+    * per-returnflag quantity distribution. Exact percentile state is the
+    * per-group value multiset; for the low-cardinality measures it is the
+    * right default even at corpus scale, and the drop-in scale escape for
+    * high-cardinality measures is `approx_percentile` (KLL-style mergeable
+    * sketch, same call shape — deliberately NOT used here so the result is
+    * engine-portable). Rounded to 6 digits: interpolation is one multiply
+    * and one add on doubles, bit-identical cross-engine at that precision. */
+  def quantityPercentiles(lineitem: DataFrame): DataFrame = {
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val aggs = count(lit(1)).as("n_lines") +:
+      ps.map { case (p, name) =>
+        round(expr(s"percentile(l_quantity, $p)"), 6).as(name)
+      }
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("l_returnflag")
+  }
+
+  /** Equi-join with a date-range residual (interval semantics): revenue from
+    * lines shipped within 30 days of their order date. The equality on
+    * orderkey keeps the join hash/sort-merge partitioned — the range
+    * predicate is a post-join residual filter, NOT a nested-loop driver —
+    * which is the scale-safe way to express "interval join with an equi
+    * prefix" (a pure range join with no equi key would plan as a broadcast
+    * nested loop and is only acceptable when one side is tiny). */
+  def promptShipRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(discPrice(lineitem)).cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
 }

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — BM25 scoring expressed as
+  * joins and aggregations so it runs at corpus scale with no inverted-index
+  * service: term statistics (df, avgdl) are tiny aggregates, per-document
+  * term frequencies come from one explode-filter-aggregate pass, and the
+  * final ranking is a TakeOrderedAndProject top-k. (An inverted index is a
+  * *materialization* of exactly the tf frame built here — persist it keyed
+  * by term to amortize repeated queries.)
+  */
+object Search {
+
+  /** BM25 top-k (Robertson–Sparck Jones idf in the Lucene form
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`, k1/b saturation):
+    * score(D, Q) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl)).
+    *
+    * Engine-portability: the per-(doc, term) score is pivoted into one
+    * column per query term and the document score is the LEFT-TO-RIGHT sum
+    * in the caller's term order — a fixed IEEE evaluation order, so the
+    * rounded score is reproducible across engines and partitionings (a
+    * `sum()` over term rows would add in shuffle order and could drift an
+    * ulp). Terms are bounded (a user query), so the pivot width is bounded.
+    *
+    * Scale shape: explode is filtered to query terms immediately (the
+    * filter pushes inside the generator's consumer — non-query tokens never
+    * reach a shuffle); df/avgdl are scalar-sized broadcasts; ranking is
+    * top-k, not a global sort. */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val docs = graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).as("dl"))
+    // Corpus statistics: one row (n_docs, total_dl) — broadcast to scorers.
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / avgdl))
+    val pivoted = tf
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matched_terms"),
+        terms.map(t => max(when(col("tok") === t, termScore)).as(s"__s_$t")): _*)
+    val score = terms
+      .map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted
+      .select(col("doc_id"), round(score, 6).as("bm25"), col("n_matched_terms"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(k)
+  }
+}

@@ -47,6 +47,57 @@ object TextOps {
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
+  /** RAG-style sliding-window chunking: split each document into token
+    * windows of `chunkSize` with `overlap` tokens shared between adjacent
+    * chunks (stride = chunkSize − overlap). Chunk i covers token positions
+    * [i·stride + 1, i·stride + chunkSize]; the final chunk is allowed to be
+    * short, and a document never yields zero chunks. Retrieval-index
+    * ingestion at corpus scale is exactly this shape: map-only (one
+    * higher-order transform + posexplode per row, token array bound once —
+    * same O(words) binding discipline as [[graft.dedup.Dedup]] shingling),
+    * no shuffle until the caller aggregates, output ~n_tokens/stride rows
+    * per document. */
+  def chunkDocuments(documents: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val nChunks = greatest(lit(1),
+      ceil((size(col("__toks")) - lit(overlap)).cast("double") / stride).cast("int"))
+    graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"), nChunks.as("__n"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(chunkSize))))))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+      .withColumn("n_chunk_tokens", size(tokens(col("chunk_text"))))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Canonical text form for normalization-invariant dedup: lowercase, every
+    * non-alphanumeric run collapsed to a single space, trimmed. The pattern
+    * is RE2-compatible (no lookaround), so the identical regex runs in the
+    * DuckDB oracle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+
+  /** Normalization-invariant exact dedup: groups documents whose texts are
+    * equal after [[normalizeText]] — catching case/punctuation/whitespace
+    * variants that byte-exact hashing ([[graft.dedup.Dedup.exactDedup]])
+    * treats as distinct. Same scale shape as exact dedup: the shuffle key is
+    * the 32-byte hash of the canonical form, never the document body.
+    * `n_exact_variants` counts distinct raw texts inside each group (1 ⇒
+    * normalization added nothing; >1 ⇒ genuine near-miss duplicates). */
+  def normalizedDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(normalizeText(col("text")), 256).as("norm_hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(sha2(col("text"), 256)).as("n_exact_variants"))
+      .select("doc_id", "norm_hash", "n_copies", "n_exact_variants")
+      .orderBy("doc_id")
+
   /** Corpus stats per language: doc count, char totals/averages, word
     * totals, distinct sources. One hash aggregation. */
   def corpusStats(documents: DataFrame): DataFrame =

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(ids: Range, source: String) =
+    ids.map(i => (i.toLong, source, s"text $i")).toDF("doc_id", "source", "text")
+
+  test("mixture sampling: epochs, partial epochs, drops, and the default rate") {
+    val d = docs(0 until 100, "up")       // 250% => 2 copies + ids 0..49 a 3rd
+      .union(docs(100 until 200, "down")) // 50%  => ids with id%100 < 50 kept once
+      .union(docs(200 until 300, "gone")) // 0%   => dropped
+      .union(docs(300 until 400, "keep")) // default 100% => exactly one copy
+    val out = Curation.mixtureSample(d,
+      Map("up" -> 250, "down" -> 50, "gone" -> 0)).collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+
+    (0 until 100).foreach { i =>
+      val want = if (i % 100 < 50) 3 else 2
+      assert(byDoc(i.toLong) == want, s"up doc $i")
+    }
+    (100 until 200).foreach { i =>
+      assert(byDoc.getOrElse(i.toLong, 0) == (if (i % 100 < 50) 1 else 0), s"down doc $i")
+    }
+    (200 until 300).foreach(i => assert(!byDoc.contains(i.toLong), s"gone doc $i"))
+    (300 until 400).foreach(i => assert(byDoc(i.toLong) == 1, s"keep doc $i"))
+
+    // Epoch indices are 1..copies for every admitted doc.
+    val epochs = out.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    epochs.foreach { case (id, es) => assert(es == (1 to es.size), s"doc $id epochs $es") }
+  }
+
+  test("mixture sampling is deterministic (two runs agree row-for-row)") {
+    val d = docs(0 until 50, "s")
+    val a = Curation.mixtureSample(d, Map("s" -> 130)).collect().toSeq
+    val b = Curation.mixtureSample(d, Map("s" -> 130)).collect().toSeq
+    assert(a == b)
+    assert(a.size == 50 + 30) // one full epoch + a partial epoch for ids 0..29
+  }
+}

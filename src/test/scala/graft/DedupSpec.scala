@@ -92,4 +92,35 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(out.values.toSet == Set(10L))
   }
+
+  test("contamination: shared 8-grams are found with the right fraction") {
+    // bench doc 100: 9 words = 2 distinct 8-grams. train doc 1 embeds the
+    // first 8 words (1 shared gram); train doc 2 is disjoint.
+    val benchText = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val train = Seq(
+      (1L, "PRE " + "w1 w2 w3 w4 w5 w6 w7 w8" + " POST"),
+      (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(train, bench, n = 8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("train_doc") == 1L)
+    assert(r.getAs[Long]("bench_doc") == 100L)
+    assert(r.getAs[Long]("n_shared") == 1L)
+    assert(r.getAs[Double]("contaminated_frac") == 0.5)
+  }
+
+  test("contamination: boilerplate grams above maxDocFreq are ignored") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val train = Seq(
+      (1L, boiler + " t1"),
+      (2L, boiler + " t2"),
+      (3L, boiler + " t3")).toDF("doc_id", "text")
+    val bench = Seq((100L, boiler + " e1")).toDF("doc_id", "text")
+    // The boilerplate gram sits in all 3 training docs; with maxDocFreq=2
+    // it is dropped and nothing is reported.
+    assert(Dedup.ngramContamination(train, bench, n = 8, maxDocFreq = 2).count() == 0)
+    // With the default cap it is reported for every training doc.
+    assert(Dedup.ngramContamination(train, bench, n = 8).count() == 3)
+  }
 }

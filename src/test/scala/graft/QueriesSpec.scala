@@ -16,7 +16,8 @@ class QueriesSpec extends SparkSpec {
 
   // Queries that may legitimately return zero rows at tiny scale.
   private val mayBeEmpty = Set("q28_ngram_jaccard", "q30_minhash_neardup",
-    "q32_simhash_neardups", "q35_embedding_neardup", "q08_anti_join", "q14_symdiff")
+    "q32_simhash_neardups", "q35_embedding_neardup", "q08_anti_join", "q14_symdiff",
+    "q54_contamination")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("grouped percentiles use continuous interpolation") {
+    // 4 values => p50 lands between ranks 2 and 3: 2.5; p75 at index
+    // 0.75*(4-1)=2.25 => 30 + 0.25*(40-30) = 32.5.
+    val li = Seq(
+      ("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0),
+      ("B", 5.0))
+      .toDF("l_returnflag", "l_quantity")
+    val out = Relational.quantityPercentiles(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("p50") == 25.0)
+    assert(out("A").getAs[Double]("p75") == 32.5)
+    assert(out("A").getAs[Double]("p25") == 17.5)
+    assert(out("A").getAs[Long]("n_lines") == 4L)
+    assert(out("B").getAs[Double]("p50") == 5.0)
+  }
+
+  test("range-residual join keeps only lines shipped within the window") {
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val out = Relational.promptShipRevenue(orders, lineitem)
+      .agg(sum("n_lines")).head().getLong(0)
+    // Equivalent formulation: plain equi-join then filter.
+    val expected = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .count()
+    assert(out == expected && expected > 0)
+  }
+}

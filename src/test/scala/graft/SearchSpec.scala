@@ -1,0 +1,54 @@
+package graft
+
+import graft.text.Search
+
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    val corpus = Seq(
+      (1L, "a b a"), // tf(a)=2, dl=3
+      (2L, "a c"),   // tf(a)=1, dl=2
+      (3L, "d d d"), // tf(d)=3, dl=3
+      (4L, "e f g h")) // no query terms
+      .toDF("doc_id", "text")
+    val terms = Seq("a", "d")
+    val out = Search.bm25TopK(corpus, terms, k = 10).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // Reference computation with the exact same formula.
+    val nDocs = 4.0
+    val avgdl = (3 + 2 + 3 + 4) / 4.0
+    val k1 = 1.2
+    val b = 0.75
+    def idf(df: Int) = math.log(1 + (nDocs - df + 0.5) / (df + 0.5))
+    def score(tf: Long, dl: Int, df: Int) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    val expected = Map(
+      1L -> score(2, 3, 2), // 'a' in docs 1,2 => df=2
+      2L -> score(1, 2, 2),
+      3L -> score(3, 3, 1)) // 'd' only in doc 3
+    out.foreach { r =>
+      val got = r.getDouble(1)
+      val want = math.rint(expected(r.getLong(0)) * 1e6) / 1e6
+      assert(math.abs(got - want) < 1e-9, s"doc ${r.getLong(0)}: got $got want $want")
+    }
+    val matched = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(matched == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bm25 sums over multiple matched terms and ranks deterministically") {
+    val corpus = Seq(
+      (1L, "a d"),   // both terms
+      (2L, "a a a a a a"), // heavy tf of one term
+      (3L, "z z"))
+      .toDF("doc_id", "text")
+    val out = Search.bm25TopK(corpus, Seq("a", "d"), k = 10).collect()
+    val byDoc = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc(1L) == 2L && byDoc(2L) == 1L)
+    // Scores strictly ordered (desc) with doc_id tiebreak.
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted(Ordering[Double].reverse))
+  }
+}

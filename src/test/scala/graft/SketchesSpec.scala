@@ -1,0 +1,26 @@
+package graft
+
+import graft.ops.Sketches
+
+class SketchesSpec extends SparkSpec {
+
+  test("hll estimates sit within 5% of exact distinct counts; union row rolls up") {
+    val out = Sketches.tokenDistinctSketch(Tables.documents(spark, sf)).collect()
+    assert(out.nonEmpty)
+    val all = out.filter(_.getString(0) == "__ALL__")
+    assert(all.length == 1, "exactly one union row")
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val est = r.getAs[Long]("hll_estimate")
+      assert(exact > 0)
+      val relErr = math.abs(est - exact).toDouble / exact
+      // lgConfigK=12 => HLL standard error ~1.6%; 5% is a safe determinism
+      // bound (the sketch is a pure function of the value set).
+      assert(relErr < 0.05, s"source ${r.getString(0)}: est $est vs exact $exact")
+    }
+    // The union estimate must be at least the largest per-source estimate.
+    val perSourceMax = out.filterNot(_.getString(0) == "__ALL__")
+      .map(_.getAs[Long]("hll_estimate")).max
+    assert(all.head.getAs[Long]("hll_estimate") >= perSourceMax)
+  }
+}

@@ -78,4 +78,39 @@ class StreamingSpec extends SparkSpec {
       .select("window_start", "n_events", "sum_value")
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("stream-static enrichment equals the batch join, single and multi-batch") {
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select(
+        col("c_custkey").as("user_id"), col("c_mktsegment")), Seq("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy("c_mktsegment")
+      .collect().toSeq
+    assert(batch.nonEmpty)
+
+    val single = EventStreams.segmentTotalsStream(spark, sf).collect().toSeq
+    assert(single == batch)
+
+    // Multi-batch: the per-batch joins must accumulate to the same totals.
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich_multi").toString
+    val ev = Tables.events(spark, sf)
+    (0 until 3).foreach { i =>
+      val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    // The static dimension lives beside the stream files.
+    Tables.customer(spark, sf).write.parquet(s"$dir/customer.parquet")
+    val multi = EventStreams.segmentTotalsStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().toSeq
+    assert(multi == batch)
+  }
 }

@@ -134,4 +134,51 @@ class TextOpsSpec extends SparkSpec {
     val total = out.count()
     assert(total == docs.count())
   }
+
+  test("chunking: overlap reconstruction, size bounds, short-doc identity") {
+    val chunkSize = 32
+    val overlap = 8
+    val stride = chunkSize - overlap
+    val chunks = TextOps.chunkDocuments(docs, chunkSize, overlap)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val cs = chunks(id).map(_.split(" ").toSeq)
+      // Every chunk is at most chunkSize tokens; all but the last are full.
+      assert(cs.forall(_.size <= chunkSize))
+      assert(cs.dropRight(1).forall(_.size == chunkSize))
+      // Dropping the leading overlap of every non-first chunk reconstructs
+      // the original token sequence exactly.
+      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(overlap))
+      assert(rebuilt == toks, s"doc $id failed reconstruction")
+      // Adjacent chunks genuinely share the overlap region.
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(overlap) == b.take(overlap) || b.size < overlap)
+        case _ =>
+      }
+      if (toks.size <= chunkSize) assert(cs == Seq(toks))
+      else assert(cs.size == math.ceil((toks.size - overlap).toDouble / stride).toInt)
+    }
+  }
+
+  test("normalized dedup groups case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD"),
+      (4L, "hello world again"))
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizedDedup(d).collect()
+    assert(out.length == 2)
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_copies"), r.getAs[Long]("n_exact_variants"))).toMap
+    assert(byDoc(1L) == (3L, 3L)) // three variants, all distinct raw texts
+    assert(byDoc(4L) == (1L, 1L))
+  }
 }
