@@ -240,7 +240,16 @@ object SparkEntry {
     "q58_normalized_dedup" -> ((s, d) => TextOps.normalizedDedup(Tables.documents(s, d))),
     // Stream-static enrichment join: micro-batched events joined per batch
     // to the broadcast customer dimension, per-segment running totals.
-    "q59_stream_enrich" -> ((s, d) => EventStreams.segmentTotalsStream(s, d)))
+    "q59_stream_enrich" -> ((s, d) => EventStreams.segmentTotalsStream(s, d)),
+    // Skew-salted fact-fact join — the oracle is the PLAIN join (same SQL
+    // as q17), proving the salt treatment is semantics-preserving.
+    "q60_salted_join" -> ((s, d) =>
+      Relational.saltedOrderLineRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Pivot crosstab with pinned values (one aggregation pass).
+    "q61_pivot" -> ((s, d) => Relational.statusPivot(Tables.orders(s, d))),
+    // CUBE over segment x nation: all grouping combinations in one pass.
+    "q62_cube" -> ((s, d) =>
+      Relational.segmentNationCube(Tables.customer(s, d), Tables.nation(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -695,5 +704,25 @@ object SparkEntry {
       s"""SELECT c_mktsegment, COUNT(*) AS n_events,
          |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Deliberately the UNSALTED join: q60's salted plan must hash-match it.
+    "q60_salted_join" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lines,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q61_pivot" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q62_cube" ->
+      s"""SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
+         |  CAST(SUM(${dec("c_acctbal")}) AS DOUBLE) AS sum_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY CUBE(c_mktsegment, n_name)
+         |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Parallelism hygiene for explode-heavy pipelines.
   *
@@ -19,5 +20,27 @@ object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Skew-defeating equi-join: a hot key on the probe side lands every one
+    * of its rows in a single shuffle partition, pinning the join to one
+    * straggler task no matter how many executors exist. Salting widens the
+    * key: probe rows get a deterministic salt in [0, nSalts) derived from
+    * `saltFrom` (their own payload — NOT `rand()`, so retried tasks and
+    * reruns shuffle identically), the build side is replicated once per
+    * salt value, and the join runs on (key, salt) — a hot key now spreads
+    * over nSalts partitions at the cost of an nSalts× build-side blow-up.
+    * Use when AQE's skew-join split (which handles most cases for free)
+    * can't help: e.g. a skewed aggregation-input join feeding a single
+    * partial aggregate. Semantics-preserving by construction — every
+    * (probe row, build row) key match meets in exactly one salt bucket;
+    * q60 proves it by hash-matching the unsalted oracle. */
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltFrom: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    val salted = probe.withColumn("__salt", pmod(xxhash64(saltFrom), lit(nSalts)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

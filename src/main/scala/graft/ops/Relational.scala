@@ -261,4 +261,55 @@ object Relational {
         count(lit(1)).as("n_lines"),
         sum(discPrice(lineitem)).cast(DoubleType).as("revenue"))
       .orderBy("o_orderpriority")
+
+  /** The fact⋈fact revenue aggregation of [[orderLineRevenue]], executed
+    * through [[Partitioning.saltedEquiJoin]]: lineitem rows are salted by
+    * their own line identity, orders are replicated per salt, and the join
+    * runs on (orderkey, salt) — the manual skew treatment for when one
+    * orderkey dominates the shuffle. Must produce byte-identical results to
+    * the unsalted plan (the DuckDB oracle for this query IS the plain
+    * join), which is exactly the property that makes salting safe to apply
+    * under skew pressure at 100 TB. */
+  def saltedOrderLineRevenue(orders: DataFrame, lineitem: DataFrame,
+      nSalts: Int = 8): DataFrame =
+    Partitioning.saltedEquiJoin(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders, "o_orderkey",
+        saltFrom = struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+        nSalts = nSalts)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Pivot (crosstab): order counts by priority × status, statuses spread
+    * into columns. Spark plans pivot as ONE aggregation pass with
+    * conditional aggregates (no per-pivot-value scans); values are pinned
+    * explicitly, which is mandatory at scale — an unpinned pivot runs an
+    * extra distinct job over the pivot column first. */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .select(col("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** CUBE over (segment, nation): all four grouping combinations in one
+    * Expand + hash aggregate — subtotals by each dimension independently
+    * plus the grand total, the full-materialization companion to
+    * [[revenueRollup]]'s hierarchy. */
+  def segmentNationCube(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
 }

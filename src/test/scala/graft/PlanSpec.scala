@@ -74,6 +74,45 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
+  test("q52 chunking is map-only: generate, no join, no aggregation shuffle") {
+    assertPlan("q52_chunking",
+      mustContain = Seq("Generate"),
+      mustNot = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+        "HashAggregate"))
+  }
+
+  test("q53 bm25 ranks via TakeOrderedAndProject with broadcast statistics") {
+    assertPlan("q53_bm25",
+      mustContain = Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct"))
+  }
+
+  test("q55 mixture sampling: broadcast rate lookup, no wide shuffle joins") {
+    assertPlan("q55_mixture_sample",
+      mustContain = Seq("BroadcastHashJoin", "Generate"),
+      mustNot = Seq("SortMergeJoin", "CartesianProduct"))
+  }
+
+  test("q57 range-residual join stays an equi join, never a nested loop") {
+    assertPlan("q57_range_join",
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      mustContain = Nil)
+  }
+
+  test("q60 salted join actually joins on the widened (key, salt) pair") {
+    val p = plan("q60_salted_join")
+    assert(p.contains("__salt"), s"salt column missing from join plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q61 pivot is one aggregation pass (no per-value scans, no extra distinct job)") {
+    val p = plan("q61_pivot")
+    // Exactly one scan NODE (FormattedMode prints each node once in the tree
+    // and once in the detail section — count the numbered detail headers).
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"pivot rescans input:\n$p")
+  }
+
   test("q02 filter scan: parquet scan pruned to the referenced columns only") {
     // lineitem has 11 columns; q02 references 6 (5 projected + the filter
     // column) — the rest must not be read. (Asserted on lineitem rather

@@ -24,6 +24,42 @@ class RelationalSpec extends SparkSpec {
     assert(out("B").getAs[Double]("p50") == 5.0)
   }
 
+  test("salted join is byte-identical to the plain join at any salt width") {
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val plain = Relational.orderLineRevenue(orders, lineitem).collect().toSeq
+    Seq(1, 4, 16).foreach { n =>
+      val salted = Relational.saltedOrderLineRevenue(orders, lineitem, n).collect().toSeq
+      assert(salted == plain, s"nSalts=$n diverged")
+    }
+  }
+
+  test("salted join preserves left-join semantics (unmatched probe rows survive)") {
+    import graft.ops.Partitioning
+    val probe = Seq((1L, "a"), (2L, "b"), (99L, "miss")).toDF("k", "pv")
+    val build = Seq((1L, "x"), (2L, "y")).toDF("k", "bv")
+    val out = Partitioning.saltedEquiJoin(probe, build, "k",
+        saltFrom = col("pv"), nSalts = 4, joinType = "left")
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("bv")).toSeq == Seq("x", "y", null))
+  }
+
+  test("pivot fills empty cells with zero and matches conditional counts") {
+    val orders = Tables.orders(spark, sf)
+    val out = Relational.statusPivot(orders).collect()
+    val byPriority = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val check = orders.groupBy("o_orderpriority", "o_orderstatus").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    byPriority.foreach { case (p, (f, o, pp)) =>
+      assert(f == check.getOrElse((p, "F"), 0L))
+      assert(o == check.getOrElse((p, "O"), 0L))
+      assert(pp == check.getOrElse((p, "P"), 0L))
+    }
+  }
+
   test("range-residual join keeps only lines shipped within the window") {
     val orders = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)
