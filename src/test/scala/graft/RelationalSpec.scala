@@ -24,6 +24,22 @@ class RelationalSpec extends SparkSpec {
     assert(out("B").getAs[Double]("p50") == 5.0)
   }
 
+  test("approx_percentile (the 100TB scale path) tracks the exact percentiles") {
+    // quantityPercentiles documents approx_percentile as the drop-in for
+    // high-cardinality measures; pin the substitution's accuracy here so
+    // the claim stays tested. accuracy=1000 => rank error <= 0.1% of rows.
+    val li = Tables.lineitem(spark, sf)
+    val exact = Relational.quantityPercentiles(li).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    exact.foreach { case (flag, e) =>
+      assert(math.abs(approx(flag) - e) <= 1.0,
+        s"$flag: approx ${approx(flag)} vs exact $e")
+    }
+  }
+
   test("salted join is byte-identical to the plain join at any salt width") {
     val orders = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)
