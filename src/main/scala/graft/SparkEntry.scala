@@ -249,7 +249,29 @@ object SparkEntry {
     "q61_pivot" -> ((s, d) => Relational.statusPivot(Tables.orders(s, d))),
     // CUBE over segment x nation: all grouping combinations in one pass.
     "q62_cube" -> ((s, d) =>
-      Relational.segmentNationCube(Tables.customer(s, d), Tables.nation(s, d))))
+      Relational.segmentNationCube(Tables.customer(s, d), Tables.nation(s, d))),
+    // Co-located (bucketed) join: both tables bucketed 8 ways on the join
+    // key at write time, so the sort-merge join runs with ZERO exchange —
+    // the write-once shuffle is amortized over every later join. The merge
+    // hint pins SMJ (a broadcast would hide the exchange-free property this
+    // query demonstrates); the oracle is the plain join on the raw parquet.
+    "q63_bucketed_join" -> ((s, d) => {
+      val store = new CatalogFeatureStore(s, "graft_bucketed",
+        Some(s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/graft_bucketed.db"))
+      store.createTable("customer_bkt", Seq("c_custkey"), Tables.customer(s, d),
+        "bucketed customer dimension", buckets = 8)
+      store.createTable("orders_bkt", Seq("o_orderkey"), Tables.orders(s, d),
+        "orders bucketed by customer", buckets = 8, bucketColumns = Seq("o_custkey"))
+      store.readTable("customer_bkt").hint("merge")
+        .join(store.readTable("orders_bkt"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+          org.apache.spark.sql.functions.sum(
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+        .orderBy("c_mktsegment")
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -724,5 +746,11 @@ object SparkEntry {
          |  CAST(SUM(${dec("c_acctbal")}) AS DOUBLE) AS sum_acctbal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY CUBE(c_mktsegment, n_name)
-         |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+         |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    // The plain (unbucketed) join — bucketing must not change the answer.
+    "q63_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(${dec("o_totalprice")}) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

@@ -69,7 +69,9 @@ final class CatalogFeatureStore(
       primaryKeys: Seq[String],
       df: DataFrame,
       description: String = "",
-      enforcePrimaryKey: Boolean = true): FeatureTable = {
+      enforcePrimaryKey: Boolean = true,
+      buckets: Int = 0,
+      bucketColumns: Seq[String] = Nil): FeatureTable = {
     FeatureStore.validatePrimaryKeys(name, primaryKeys, df, enforcePrimaryKey)
     if (!tableExists(name)) {
       val orphan = new org.apache.hadoop.fs.Path(s"$databaseLocation/$name")
@@ -86,7 +88,24 @@ final class CatalogFeatureStore(
         fs.delete(orphan, true)
       }
     }
-    df.write.mode("overwrite").format("parquet").saveAsTable(fullName(name))
+    // Bucketing: hash-cluster the table into `buckets` files by
+    // `bucketColumns` (default: the primary keys) and sort within each
+    // bucket. Two tables bucketed the same way on their join key sort-merge
+    // join with ZERO exchange — the shuffle was paid once at write time and
+    // is amortized over every subsequent join (q63 proves the plan). The
+    // pre-write repartition on the bucket key gives each bucket exactly one
+    // file, so the join also skips the per-bucket sort.
+    val bucketCols = if (bucketColumns.nonEmpty) bucketColumns else primaryKeys
+    val writer =
+      if (buckets > 0) {
+        val missing = bucketCols.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"bucket columns not in dataframe: ${missing.mkString(", ")}")
+        df.repartition(buckets, bucketCols.map(df(_)): _*)
+          .write
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+      } else df.write
+    writer.mode("overwrite").format("parquet").saveAsTable(fullName(name))
     spark.sql(
       s"""ALTER TABLE ${fullName(name)} SET TBLPROPERTIES (
          |  'graft.primaryKeys' = '${primaryKeys.mkString(",").replace("'", "''")}',

@@ -86,6 +86,23 @@ class CatalogStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("not a valid name"))
   }
 
+  test("bucketed createTable round-trips data and registers the bucket spec") {
+    val df = Tables.customer(spark, sf)
+    store.createTable("customer_bucketed_t", Seq("c_custkey"), df,
+      "bucketed", buckets = 4)
+    val back = store.readTable("customer_bucketed_t")
+    assert(back.count() == df.count())
+    // The catalog must carry the bucket spec (that is what later joins use).
+    val ddl = spark.sql("SHOW CREATE TABLE graft_test_db.customer_bucketed_t")
+      .head().getString(0)
+    assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
+    // Bucket columns that don't exist fail fast.
+    intercept[IllegalArgumentException] {
+      store.createTable("customer_bucketed_bad", Seq("c_custkey"), df,
+        "bad", buckets = 4, bucketColumns = Seq("nope"))
+    }
+  }
+
   test("orphan cleanup refuses to delete directories holding foreign files") {
     val df = Seq((1, "a")).toDF("id", "v")
     // Simulate a stale location that contains a file the store never wrote:

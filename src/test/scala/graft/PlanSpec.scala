@@ -113,6 +113,17 @@ class PlanSpec extends SparkSpec {
       s"pivot rescans input:\n$p")
   }
 
+  test("q63 bucketed join: sort-merge with no exchange on either join key") {
+    val p = plan("q63_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint not honored:\n$p")
+    // Co-location contract: neither side shuffles on its join key — the
+    // only exchanges left belong to the aggregation/order, not the join.
+    assert(!p.contains("hashpartitioning(c_custkey"),
+      s"customer side re-shuffled (bucketing not used):\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey"),
+      s"orders side re-shuffled (bucketing not used):\n$p")
+  }
+
   test("q02 filter scan: parquet scan pruned to the referenced columns only") {
     // lineitem has 11 columns; q02 references 6 (5 projected + the filter
     // column) — the rest must not be read. (Asserted on lineitem rather
