@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.dedup.Dedup
-import graft.fs.{CatalogFeatureStore, FeatureLookup, LookupHint, TrainingSet}
+import graft.fs.{CatalogFeatureStore, FeatureLookup, FeatureStore, LookupHint, TrainingSet}
 import graft.multimodal.Multimodal
 import graft.ops.{Events, Relational, Validation}
 import graft.sim.Similarity
@@ -271,6 +271,20 @@ object SparkEntry {
             col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
         .orderBy("c_mktsegment")
+    }),
+    // Hive-style partitioned feature table: a predicate on the partition
+    // column prunes to one directory at planning time (PartitionFilters in
+    // the scan — asserted by PlanSpec) — the layout that turns a 100 TB
+    // scan into a read of just the hot partition.
+    "q64_partition_pruning" -> ((s, d) => {
+      val store = new FeatureStore(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft_fs_partitioned")
+      store.createTable("customer_part", Seq("c_custkey"), Tables.customer(s, d),
+        "customer partitioned by market segment", partitionBy = Seq("c_mktsegment"))
+      store.readTable("customer_part")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -752,5 +766,9 @@ object SparkEntry {
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |  CAST(SUM(${dec("o_totalprice")}) AS DOUBLE) AS revenue
          |FROM customer JOIN orders ON c_custkey = o_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Partition layout must not change the answer either.
+    "q64_partition_pruning" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)
 }

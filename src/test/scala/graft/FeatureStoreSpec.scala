@@ -102,6 +102,25 @@ class FeatureStoreSpec extends SparkSpec {
     intercept[Exception] { store.lookupOne("mutable_tbl", 1) } // table gone
   }
 
+  test("partitioned createTable lays out hive dirs and re-attaches in a fresh store") {
+    val df = Tables.customer(spark, sf)
+    store.createTable("customer_partitioned", Seq("c_custkey"), df,
+      "partitioned by segment", partitionBy = Seq("c_mktsegment"))
+    // Hive-style layout: one directory per segment value.
+    val dirs = new java.io.File(s"$base/customer_partitioned").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("c_mktsegment=")), s"no partition dirs: $dirs")
+    // Full round-trip (partition column restored as a data column).
+    val back = store.readTable("customer_partitioned")
+    assert(back.count() == df.count())
+    assert(back.columns.contains("c_mktsegment"))
+    // A fresh store over the same path re-attaches from the sidecar even
+    // with the partitioned layout (meta file must not break discovery).
+    val fresh = new FeatureStore(spark, base)
+    assert(fresh.getTable("customer_partitioned").primaryKeys == Seq("c_custkey"))
+    assert(fresh.readTable("customer_partitioned").count() == df.count())
+  }
+
   test("CSV schema inference matches the reference expectation") {
     val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
     val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap

@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
       s"orders side re-shuffled (bucketing not used):\n$p")
   }
 
+  test("q64 partitioned table: the segment predicate prunes partitions at plan time") {
+    val p = plan("q64_partition_pruning")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("c_mktsegment") && pf.contains("BUILDING"),
+      s"predicate not applied as a partition filter:\n$p")
+  }
+
   test("q02 filter scan: parquet scan pruned to the referenced columns only") {
     // lineitem has 11 columns; q02 references 6 (5 projected + the filter
     // column) — the rest must not be read. (Asserted on lineitem rather
