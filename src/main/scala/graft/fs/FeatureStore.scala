@@ -60,11 +60,76 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
 
-    val ft = FeatureTable(name, primaryKeys, description, df.schema, path)
+    val ft = FeatureTable(name, primaryKeys, description, df.schema, path, partitionBy)
     writeMeta(ft)
     registry.put(name, ft)
     invalidatePointIndex(name) // a rewrite must not leave a stale broadcast
     ft
+  }
+
+  /** PK-keyed merge write (the feature-store `mode="merge"` contract): rows
+    * of `updates` replace existing rows with the same primary-key tuple;
+    * unmatched existing rows survive; genuinely new keys append. Plain
+    * parquet has no transactional merge (that is Delta's job — see README
+    * "Deviations"), so the merge is a full rewrite: anti-join the current
+    * table against the update keys, union the updates, write to a temp
+    * location, then swap directories. The swap window is the only
+    * non-atomic part; on Delta the same logic is `MERGE INTO` and the
+    * rewrite cost drops to the touched files.
+    *
+    * Scale shape: one shuffle (the anti-join on the PK); the updates side
+    * of a feature refresh is typically small → broadcast by Catalyst. */
+  def upsert(name: String, updates: DataFrame): FeatureTable = {
+    val ft = getTable(name)
+    FeatureStore.validatePrimaryKeys(name, ft.primaryKeys, updates, enforce = true)
+    val existing = readTable(name)
+    require(existing.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert($name): column mismatch — table has ${existing.columns.sorted.mkString(",")}, " +
+        s"updates have ${updates.columns.sorted.mkString(",")}")
+    val merged = existing
+      .join(updates.select(ft.primaryKeys.map(col): _*), ft.primaryKeys, "left_anti")
+      .unionByName(updates)
+    rewriteInPlace(ft, merged)
+  }
+
+  /** Small-file compaction: rewrite the table into `targetFileCount` files
+    * per partition directory (1 by default). Long-lived tables accumulate
+    * files with every refresh; scan cost at 100 TB is dominated by file
+    * count once files are small, so periodic compaction is part of the
+    * table-maintenance surface (OPTIMIZE on Delta; a coalesced rewrite
+    * here). Data, metadata, and the answer to every query are unchanged. */
+  def compact(name: String, targetFileCount: Int = 1): FeatureTable = {
+    require(targetFileCount >= 1, s"targetFileCount must be >= 1, got $targetFileCount")
+    val ft = getTable(name)
+    val data = readTable(name)
+    val compacted =
+      if (ft.partitionColumns.nonEmpty)
+        // One shuffle keyed by the partition columns: each output task holds
+        // whole partitions, so every partition directory gets few files.
+        data.repartition(ft.partitionColumns.map(col): _*)
+      else data.coalesce(targetFileCount)
+    rewriteInPlace(ft, compacted)
+  }
+
+  /** Rewrite a table's data in place via write-to-temp + directory swap
+    * (a lazy self-overwrite would corrupt the table: the plan would read
+    * the files the write is deleting). Preserves PK metadata, description,
+    * and partition layout. */
+  private def rewriteInPlace(ft: FeatureTable, data: DataFrame): FeatureTable = {
+    val path = new org.apache.hadoop.fs.Path(ft.path)
+    val tmp = new org.apache.hadoop.fs.Path(ft.path + "__graft_rewrite_tmp")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writer = data.write.mode("overwrite")
+    (if (ft.partitionColumns.nonEmpty) writer.partitionBy(ft.partitionColumns: _*)
+     else writer).parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rewrite(${ft.name}): rename $tmp -> $path failed")
+    val out = ft.copy(schema = spark.read.parquet(ft.path).schema)
+    writeMeta(out)
+    registry.put(ft.name, out)
+    invalidatePointIndex(ft.name)
+    out
   }
 
   /** Read a registered table (reference: 02_model_training.py:145). */
@@ -104,7 +169,8 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
       ("name" -> ft.name) ~
         ("primaryKeys" -> ft.primaryKeys) ~
         ("description" -> ft.description) ~
-        ("schema" -> ft.schema.json)
+        ("schema" -> ft.schema.json) ~
+        ("partitionColumns" -> ft.partitionColumns)
     out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
     out.close()
   }
@@ -119,10 +185,12 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
       val j = JsonMethods.parse(raw)
       val pks = (j \ "primaryKeys").extractOrElse[Seq[String]](Nil)
       val desc = (j \ "description").extractOrElse[String]("")
+      // Sidecars from earlier releases lack the key => Nil (unpartitioned).
+      val parts = (j \ "partitionColumns").extractOrElse[Seq[String]](Nil)
       // Schema authority is the parquet footer (it reflects what's actually
       // on disk); the sidecar copy is informational.
       val schema = spark.read.parquet(tablePath(name)).schema
-      val ft = FeatureTable(name, pks, desc, schema, tablePath(name))
+      val ft = FeatureTable(name, pks, desc, schema, tablePath(name), parts)
       registry.put(name, ft)
       Some(ft)
     }

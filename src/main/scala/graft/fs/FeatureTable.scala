@@ -17,4 +17,5 @@ final case class FeatureTable(
     primaryKeys: Seq[String],
     description: String,
     schema: StructType,
-    path: String)
+    path: String,
+    partitionColumns: Seq[String] = Nil)

@@ -121,6 +121,56 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fresh.readTable("customer_partitioned").count() == df.count())
   }
 
+  test("upsert replaces matched keys, keeps the rest, appends new keys") {
+    import spark.implicits._
+    store.createTable("upsert_tbl", Seq("id"),
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    store.upsert("upsert_tbl",
+      Seq((2, "B2"), (9, "new")).toDF("id", "v"))
+    val got = store.readTable("upsert_tbl").orderBy("id").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1 -> "a", 2 -> "B2", 3 -> "c", 9 -> "new"))
+    // The PK contract holds on the update set too.
+    intercept[PrimaryKeyViolation] {
+      store.upsert("upsert_tbl", Seq((5, "x"), (5, "y")).toDF("id", "v"))
+    }
+    // Schema drift is rejected, not silently merged.
+    intercept[IllegalArgumentException] {
+      store.upsert("upsert_tbl", Seq((1, "z", 0.5)).toDF("id", "v", "extra"))
+    }
+  }
+
+  test("compact collapses a many-file table to one file, data unchanged") {
+    import spark.implicits._
+    val wide = spark.range(0, 1000).toDF("id")
+      .repartition(16)
+      .withColumn("v", col("id") * 2)
+    store.createTable("compact_tbl", Seq("id"), wide)
+    def files() = new java.io.File(s"$base/compact_tbl").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() > 1, "fixture should start with many files")
+    val before = store.readTable("compact_tbl").orderBy("id").collect().toSeq
+    store.compact("compact_tbl")
+    assert(files() == 1)
+    assert(store.readTable("compact_tbl").orderBy("id").collect().toSeq == before)
+    // Metadata survived the rewrite.
+    assert(store.getTable("compact_tbl").primaryKeys == Seq("id"))
+  }
+
+  test("upsert preserves a partitioned table's layout") {
+    import spark.implicits._
+    store.createTable("upsert_part_tbl", Seq("id"),
+      Seq((1, "x", "p1"), (2, "y", "p2")).toDF("id", "v", "part"),
+      partitionBy = Seq("part"))
+    store.upsert("upsert_part_tbl", Seq((2, "Y2", "p2"), (3, "z", "p3")).toDF("id", "v", "part"))
+    val dirs = new java.io.File(s"$base/upsert_part_tbl").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("part=p1", "part=p2", "part=p3"), s"layout lost: $dirs")
+    val got = store.readTable("upsert_part_tbl").orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq(1 -> "x", 2 -> "Y2", 3 -> "z"))
+  }
+
   test("CSV schema inference matches the reference expectation") {
     val df = CsvIngest.readInferred(spark, refData("customer_features.csv"))
     val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
