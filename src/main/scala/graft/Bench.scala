@@ -30,40 +30,77 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Best-of-2 per query: a single timed pass is defenseless against
-      // co-tenant machine load (transient contention inflates one run by an
-      // order of magnitude). The minimum of two independent runs is a robust
-      // estimate of the query's true cost; the cache is cleared between runs
-      // so the second pass redoes the work instead of replaying cached
-      // blocks — we measure the plan, not the block manager.
-      var failed = false
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Defensive isolation: no run inherits another's cached blocks
-        // (iterative ops cache intermediates; stale blocks skew timings).
-        spark.catalog.clearCache()
-        dt
+
+    // Hypervisor steal time (jiffies, USER_HZ=100): the direct evidence of
+    // co-tenant contention. Sampled around every timed run — wall time
+    // stretched by stolen CPU is a property of the machine, not the plan.
+    def stealJiffies(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = cpu.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case _: Throwable => 0L }
+
+    final case class Sample(dt: Double, tainted: Boolean)
+    val failedSet = scala.collection.mutable.Set.empty[String]
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val s0 = stealJiffies()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failedSet += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      val base = Seq(once(), once())
-      // Adaptive third run: when the two timings disagree by >2x, the
-      // machine was contended during at least one of them (co-tenant CPU
-      // steal stretched wall time) — a third sample keeps one transient
-      // spike from poisoning the min. Bounded: at most one extra run, only
-      // for queries whose own evidence shows interference.
-      val times =
-        if (!failed && base.max > 2 * base.min + 0.5) base :+ once() else base
-      val dt = times.min
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Defensive isolation: no run inherits another's cached blocks
+      // (iterative ops cache intermediates; stale blocks skew timings).
+      spark.catalog.clearCache()
+      val stolen = (stealJiffies() - s0) / 100.0 // CPU-seconds stolen, all cores
+      // Tainted when the hypervisor stole a meaningful FRACTION OF MACHINE
+      // CAPACITY during the run (steal is cross-core CPU time: on a 32-core
+      // box, capacity over dt wall-seconds is 32*dt CPU-seconds — an
+      // ambient trickle is harmless, a storm is not). This catches what
+      // best-of-N cannot: a contention storm outlasting all consecutive
+      // samples makes them AGREE with each other while being uniformly
+      // wrong.
+      val capacity = Runtime.getRuntime.availableProcessors() * dt
+      Sample(dt, stolen > 1.0 && stolen > 0.10 * capacity)
+    }
+
+    // Pass 1: best-of-2 per query (min of independent runs defeats brief
+    // spikes), plus a third sample when the two disagree >2x.
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val base = Seq(once(name, fn), once(name, fn))
+      val samples =
+        if (!failedSet(name) &&
+            base.map(_.dt).max > 2 * base.map(_.dt).min + 0.5) base :+ once(name, fn)
+        else base
+      name -> samples
+    }
+    // Pass 2 (bounded): queries whose every sample was steal-tainted are
+    // re-timed after the rest of the suite ran — minutes of temporal
+    // distance, which is what a storm that spans consecutive samples needs.
+    val results = firstPass.map { case (name, samples) =>
+      val fn = selected(name)
+      var all = samples
+      var retries = 0
+      while (!failedSet(name) && retries < 2 && all.forall(_.tainted)) {
+        System.err.println(s"[bench] $name: all samples steal-tainted; re-timing")
+        all = all :+ once(name, fn)
+        retries += 1
+      }
+      val clean = all.filterNot(_.tainted)
+      val pool = if (clean.nonEmpty) clean else all
+      val dt = pool.map(_.dt).min
+      val flag =
+        if (failedSet(name)) "  FAILED"
+        else if (clean.isEmpty) "  (still tainted)"
+        else ""
       System.err.println(
-        f"[bench] $name%-28s $dt%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})" +
-          (if (failed) "  FAILED" else ""))
-      (name, dt, failed)
+        f"[bench] $name%-28s $dt%8.2f s  (runs: ${
+          all.map(s => f"${s.dt}%.2f" + (if (s.tainted) "*" else "")).mkString(", ")})$flag")
+      (name, dt, failedSet(name))
     }
     // A failed query's time-to-exception is NOT a measurement — reporting it
     // would let a fast failure masquerade as a fast query. Failures are
