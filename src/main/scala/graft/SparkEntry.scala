@@ -217,13 +217,12 @@ object SparkEntry {
     "q53_bm25" -> ((s, d) =>
       graft.text.Search.bm25TopK(Tables.documents(s, d), Bm25Terms, 20)),
     // Benchmark decontamination: 8-gram collisions between the training
-    // split (doc_id % 20 != 0) and the held-out benchmark split.
-    "q54_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.ngramContamination(
-        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), org.apache.spark.sql.functions.lit(20)) =!= 0),
-        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), org.apache.spark.sql.functions.lit(20)) === 0))
-    }),
+    // split (doc_id % 20 != 0) and the held-out benchmark split. The
+    // single-corpus form shingles ONCE and routes by the split predicate.
+    "q54_contamination" -> ((s, d) =>
+      Dedup.ngramContaminationSplit(Tables.documents(s, d),
+        org.apache.spark.sql.functions.pmod(col("doc_id"),
+          org.apache.spark.sql.functions.lit(20)) === 0)),
     // Deterministic mixture resampling: 2.5 epochs of src0, half of src1,
     // src2 dropped, everything else kept as-is.
     "q55_mixture_sample" -> ((s, d) =>
@@ -272,6 +271,8 @@ object SparkEntry {
             .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
         .orderBy("c_mktsegment")
     }),
+    // Streaming sliding windows (complete mode), equal to the batch q19.
+    "q65_stream_sliding" -> ((s, d) => EventStreams.slidingHourlyStream(s, d)),
     // Hive-style partitioned feature table: a predicate on the partition
     // column prunes to one directory at planning time (PartitionFilters in
     // the scan — asserted by PlanSpec) — the layout that turns a 100 TB
@@ -770,5 +771,11 @@ object SparkEntry {
     // Partition layout must not change the answer either.
     "q64_partition_pruning" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
-        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q65_stream_sliding" ->
+      """SELECT window_start, COUNT(*) AS n_events FROM (
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+        |           - k.k * INTERVAL '30 minutes' AS window_start
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin)
 }

@@ -54,10 +54,13 @@ object Dedup {
     * in place, so the split runs exactly once per document — and the input
     * spread across the cluster first (a one-split fixture would otherwise
     * shingle on a single task; see [[graft.ops.Partitioning.spread]]). */
-  private def shingled(documents: DataFrame, n: Int): DataFrame =
+  private def shingled(documents: DataFrame, n: Int,
+      extra: Seq[String] = Nil): DataFrame = {
+    val carried = extra.map(col)
     graft.ops.Partitioning.spread(documents)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("__toks"))
-      .select(col("doc_id"), shingleExpr(col("text"), col("__toks"), n).as("sh"))
+      .select(col("doc_id") +: col("text") +: split(col("text"), " ").as("__toks") +: carried: _*)
+      .select(col("doc_id") +: shingleExpr(col("text"), col("__toks"), n).as("sh") +: carried: _*)
+  }
 
   /** N-gram Jaccard similarity join over the *df-filtered shingle universe*:
     * explode distinct shingles, drop stop-shingles (document frequency above
@@ -119,12 +122,31 @@ object Dedup {
       minShared: Long = 1L, maxDocFreq: Long = 1000L): DataFrame = {
     val trainGrams = shingled(train, n)
       .select(col("doc_id").as("train_doc"), explode(array_distinct(col("sh"))).as("sh"))
+    val benchGrams = shingled(bench, n)
+      .select(col("doc_id").as("bench_doc"), explode(array_distinct(col("sh"))).as("sh"))
+    contaminationFromGrams(trainGrams, benchGrams, minShared, maxDocFreq)
+  }
+
+  /** [[ngramContamination]] when both splits come from ONE corpus frame:
+    * shingles are computed in a single pass and routed by `isBench` — at
+    * 100 TB the shingling scan dominates, so folding the two passes into
+    * one halves the operator's cost (q54 uses this form). */
+  def ngramContaminationSplit(documents: DataFrame,
+      isBench: org.apache.spark.sql.Column, n: Int = 8,
+      minShared: Long = 1L, maxDocFreq: Long = 1000L): DataFrame = {
+    val grams = shingled(documents.withColumn("__bench", isBench), n, extra = Seq("__bench"))
+      .select(col("doc_id"), col("__bench"), explode(array_distinct(col("sh"))).as("sh"))
+    val trainGrams = grams.filter(!col("__bench")).select(col("doc_id").as("train_doc"), col("sh"))
+    val benchGrams = grams.filter(col("__bench")).select(col("doc_id").as("bench_doc"), col("sh"))
+    contaminationFromGrams(trainGrams, benchGrams, minShared, maxDocFreq)
+  }
+
+  private def contaminationFromGrams(trainGrams: DataFrame, benchGrams: DataFrame,
+      minShared: Long, maxDocFreq: Long): DataFrame = {
     val rare = trainGrams
       .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
       .select("sh")
-    val benchGrams = shingled(bench, n)
-      .select(col("doc_id").as("bench_doc"), explode(array_distinct(col("sh"))).as("sh"))
     val benchSizes = benchGrams.groupBy(col("bench_doc")).agg(count(lit(1)).as("n_bench_grams"))
     trainGrams
       .join(rare, Seq("sh"))

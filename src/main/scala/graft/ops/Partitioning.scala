@@ -38,6 +38,8 @@ object Partitioning {
   def saltedEquiJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFrom: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedEquiJoin reserves the __salt column name; rename the input column")
     val salted = probe.withColumn("__salt", pmod(xxhash64(saltFrom), lit(nSalts)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

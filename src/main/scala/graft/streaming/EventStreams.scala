@@ -124,6 +124,32 @@ object EventStreams {
     EventStreams.settle(spark, name, settled)
   }
 
+  /** Sliding windows under the micro-batch engine: 1-hour windows sliding
+    * every 30 minutes (each event in exactly 2 windows), the same
+    * expression as the batch [[graft.ops.Events.slidingHourly]]. Complete
+    * output mode — every window is in the settled table; the watermark
+    * still bounds state at true-streaming scale. */
+  def slidingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_sliding_${runId.incrementAndGet()}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    settle(spark, name, spark.table(name).orderBy("window_start"))
+  }
+
   /** Stream-static enrichment join — the standard streaming-ingest pattern:
     * a micro-batched event stream joined per batch against a static (batch)
     * dimension, then aggregated. The static side here is the customer

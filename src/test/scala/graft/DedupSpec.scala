@@ -110,6 +110,16 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("contaminated_frac") == 0.5)
   }
 
+  test("single-pass split contamination equals the two-frame form") {
+    val docs = Tables.documents(spark, sf)
+    val pred = pmod(col("doc_id"), lit(20)) === 0
+    val twoFrame = Dedup.ngramContamination(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pred)).collect().toSeq
+    val onePass = Dedup.ngramContaminationSplit(docs, pred).collect().toSeq
+    assert(onePass == twoFrame)
+  }
+
   test("contamination: boilerplate grams above maxDocFreq are ignored") {
     val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
     val train = Seq(

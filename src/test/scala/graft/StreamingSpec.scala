@@ -79,6 +79,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming sliding windows equal the batch sliding windows") {
+    val streamed = EventStreams.slidingHourlyStream(spark, sf)
+      .select("window_start", "n_events")
+    val batch = graft.ops.Events.slidingHourly(Tables.events(spark, sf))
+      .select("window_start", "n_events")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream-static enrichment equals the batch join, single and multi-batch") {
     val batch = Tables.events(spark, sf)
       .join(Tables.customer(spark, sf).select(
