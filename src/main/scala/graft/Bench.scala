@@ -78,17 +78,29 @@ object Bench {
         else base
       name -> samples
     }
-    // Pass 2 (bounded): queries whose every sample was steal-tainted are
-    // re-timed after the rest of the suite ran — minutes of temporal
-    // distance, which is what a storm that spans consecutive samples needs.
+    // Pass 2 (bounded): suspect queries are re-timed after the rest of the
+    // suite ran — minutes of temporal distance, which is what a storm that
+    // spans consecutive samples needs. Suspect = every sample steal-tainted
+    // (CPU stolen by a co-tenant), OR the best time is implausibly slow for
+    // this suite (>12 s — catches IO/memory-side contention that steals no
+    // CPU but still agreed across consecutive samples). A retry that fails
+    // to beat the previous best by >30% CONFIRMS the cost is real and stops
+    // the retries, so a genuinely heavy query pays at most one extra run.
+    val suspectSecs = 12.0
     val results = firstPass.map { case (name, samples) =>
       val fn = selected(name)
       var all = samples
       var retries = 0
-      while (!failedSet(name) && retries < 2 && all.forall(_.tainted)) {
-        System.err.println(s"[bench] $name: all samples steal-tainted; re-timing")
-        all = all :+ once(name, fn)
+      var confirmed = false
+      def suspect = all.forall(_.tainted) || all.map(_.dt).min > suspectSecs
+      while (!failedSet(name) && retries < 2 && !confirmed && suspect) {
+        System.err.println(s"[bench] $name: suspect timing (${
+          all.map(s => f"${s.dt}%.2f").mkString(", ")}); re-timing after the suite")
+        val prevMin = all.map(_.dt).min
+        val s = once(name, fn)
+        all = all :+ s
         retries += 1
+        if (!s.tainted && s.dt > 0.7 * prevMin) confirmed = true
       }
       val clean = all.filterNot(_.tainted)
       val pool = if (clean.nonEmpty) clean else all

@@ -273,6 +273,10 @@ object SparkEntry {
     }),
     // Streaming sliding windows (complete mode), equal to the batch q19.
     "q65_stream_sliding" -> ((s, d) => EventStreams.slidingHourlyStream(s, d)),
+    // One-pass multi-column table profile (nulls/distinct/min/max per
+    // column in a single aggregation job — the distributed DESCRIBE).
+    "q66_profile" -> ((s, d) =>
+      Validation.profile(Tables.orders(s, d), ProfileColumns)),
     // Hive-style partitioned feature table: a predicate on the partition
     // column prunes to one directory at planning time (PartitionFilters in
     // the scan — asserted by PlanSpec) — the layout that turns a 100 TB
@@ -294,6 +298,11 @@ object SparkEntry {
 
   /** Per-source sampling rates (percent) for q55. */
   val MixtureRates: Map[String, Int] = Map("src0" -> 250, "src1" -> 50, "src2" -> 0)
+
+  /** Columns profiled by q66 (shared with its generated oracle SQL). */
+  val ProfileColumns: Seq[String] = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -777,5 +786,12 @@ object SparkEntry {
         |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
         |           - k.k * INTERVAL '30 minutes' AS window_start
         |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
-        |GROUP BY window_start ORDER BY window_start""".stripMargin)
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q66_profile" -> ProfileColumns.map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value,
+           |  COUNT(*) AS n_rows FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
 }

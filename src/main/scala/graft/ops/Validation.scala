@@ -33,4 +33,39 @@ object Validation {
       .select(col("column_name"), col("n_nulls"), col("__n_rows").as("n_rows"))
       .orderBy("column_name")
   }
+
+  /** One-pass table profile: per column — nulls, exact distinct count, and
+    * min/max rendered as strings (so heterogeneous column types unpivot
+    * into one result shape). The distributed `DESCRIBE` of table
+    * management: everything folds into ONE aggregation over one scan (the
+    * per-column aggregates all ride the same job), then a constant-size
+    * unpivot. At extreme column counts swap `countDistinct` for
+    * `approx_count_distinct` (same call shape, sketch-sized state — see
+    * [[Sketches]]); exact is used here so the result is oracle-checkable. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__distinct_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    one
+      .select(col("__n_rows").as("n_rows"), explode(array(perCol: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_value"), col("p.max_value"), col("n_rows"))
+      .orderBy("column_name")
+  }
 }
