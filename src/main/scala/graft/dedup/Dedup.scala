@@ -128,9 +128,13 @@ object Dedup {
   }
 
   /** [[ngramContamination]] when both splits come from ONE corpus frame:
-    * shingles are computed in a single pass and routed by `isBench` — at
-    * 100 TB the shingling scan dominates, so folding the two passes into
-    * one halves the operator's cost (q54 uses this form). */
+    * shingles are computed once and routed by `isBench` — at 100 TB the
+    * shingling scan dominates, so folding the two passes into one halves
+    * the operator's cost (q54 uses this form). The single-execution
+    * guarantee comes from exchange reuse: every branch (train grams, bench
+    * grams, df filter, bench sizes) hangs off the same `spread` shuffle,
+    * and AQE's ReuseExchange collapses the identical subplans at runtime —
+    * asserted by DedupSpec against the executed plan. */
   def ngramContaminationSplit(documents: DataFrame,
       isBench: org.apache.spark.sql.Column, n: Int = 8,
       minShared: Long = 1L, maxDocFreq: Long = 1000L): DataFrame = {

@@ -120,6 +120,14 @@ class DedupSpec extends SparkSpec {
     assert(onePass == twoFrame)
   }
 
+  test("split contamination shingles once at runtime (exchange reuse)") {
+    val df = Dedup.ngramContaminationSplit(Tables.documents(spark, sf),
+      pmod(col("doc_id"), lit(20)) === 0)
+    df.collect() // reuse is adaptive — inspect the EXECUTED plan
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "shingle subplan was recomputed per branch instead of reused")
+  }
+
   test("contamination: boilerplate grams above maxDocFreq are ignored") {
     val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
     val train = Seq(
