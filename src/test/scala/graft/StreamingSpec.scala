@@ -87,6 +87,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("append-mode watermark drops late data and finalizes windows exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hour: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+    val source = MemoryStream[(java.sql.Timestamp, Long)]
+    val windows = source.toDF().toDF("ts", "v")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+    val q = windows.writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_test").start()
+    try {
+      // Batch 1: on-time events at hours 1, 2, 3 -> watermark advances to
+      // 02:00; only window [01:00) is final (end <= watermark).
+      source.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 3L))
+      q.processAllAvailable()
+      // Batch 2: an event at hour 0 is >1h late -> its window is already
+      // expired and the row must be DROPPED, not resurrected.
+      source.addData((ts(0), 99L))
+      q.processAllAvailable()
+      // Batch 3: far-future sentinel pushes the watermark past everything
+      // on time, flushing the held windows.
+      source.addData((ts(10), 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_late_test")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("graft_late_test")
+    assert(!got.contains(ts(0)), s"late row leaked into an expired window: $got")
+    assert(got(ts(1)) == 1L && got(ts(2)) == 1L && got(ts(3)) == 1L, s"windows wrong: $got")
+  }
+
   test("stream-static enrichment equals the batch join, single and multi-batch") {
     val batch = Tables.events(spark, sf)
       .join(Tables.customer(spark, sf).select(
