@@ -277,6 +277,14 @@ object SparkEntry {
     // column in a single aggregation job — the distributed DESCRIBE).
     "q66_profile" -> ((s, d) =>
       Validation.profile(Tables.orders(s, d), ProfileColumns)),
+    // Batch ANN join through the IVF index: top-10 approximate neighbors
+    // for 5 probe queries touching only nprobe cells each. Rows-only
+    // (approximate); SimilaritySpec bounds recall vs the exact q44 and
+    // proves nprobe=nlist exactness.
+    "q67_ivf_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKnnJoin(ivfIndex(s, d), emb.filter(col("vec_id") < 5), 10)
+    }),
     // Hive-style partitioned feature table: a predicate on the partition
     // column prunes to one directory at planning time (PartitionFilters in
     // the scan — asserted by PlanSpec) — the layout that turns a 100 TB

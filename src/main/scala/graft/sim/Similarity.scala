@@ -199,6 +199,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN join through the IVF index — the retrieval workload at
+    * corpus scale: top-k approximate neighbors for EVERY query in a bounded
+    * probe batch, touching only each query's `nprobe` nearest cells instead
+    * of streaming the whole corpus per batch (the cost [[knnJoin]] pays for
+    * exactness). Probe selection is itself a tiny plan (queries × nlist
+    * centroid literals, window top-nprobe); candidate generation is an
+    * EQUI-join on the cell id — with `assigned` written out partitioned by
+    * cell, that join partition-prunes to the probed cells for free.
+    * nprobe = nlist degenerates to exact (verified by SimilaritySpec). */
+  def ivfKnnJoin(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+      roundDigits: Int = 6): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "__centroid")
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+      col("embedding").cast("array<double>").as("q_embedding"))
+    val cellRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(desc("__c_sim"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__c_sim", cosine(col("q_embedding"), col("__centroid")))
+      .withColumn("__c_rank", row_number().over(cellRank))
+      .filter(col("__c_rank") <= nprobe)
+      .select(col("q_vec_id"), col("q_embedding"), col("cell"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(desc("cosine_sim"), col("vec_id"))
+    index.assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .select(col("q_vec_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), roundDigits).as("cosine_sim"))
+      .withColumn("knn_rank", row_number().over(rank))
+      .filter(col("knn_rank") <= k)
+      .orderBy("q_vec_id", "knn_rank")
+  }
+
   /** Driver-local Lloyd k-means over a bounded sample — the coarse-quantizer
     * fit. A few thousand points × a few dozen iterations is microseconds of
     * driver CPU; running this distributed (as a per-query ml.KMeans fit did)

@@ -84,6 +84,24 @@ class SimilaritySpec extends SparkSpec {
     } yield (ia, ib)).toSet
   }
 
+  test("ivf knn join: exact at nprobe=nlist, decent recall when pruning cells") {
+    val index = Similarity.buildIvf(embeddings, nlist = 8)
+    val queries = embeddings.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(Similarity.knnJoin(embeddings, queries, 10))
+    // Probing every cell scans every candidate => identical to exact kNN.
+    val full = Similarity.ivfKnnJoin(index, queries, 10, nprobe = 8)
+    assert(pairs(full) == exact)
+    assert(full.columns.toSeq ==
+      Seq("q_vec_id", "vec_id", "label", "cosine_sim", "knn_rank"))
+    // Pruned probing trades recall for touching nprobe/nlist of the corpus.
+    val pruned = pairs(Similarity.ivfKnnJoin(index, queries, 10, nprobe = 3))
+    val recall = (pruned & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf knn recall $recall too low at nprobe=3")
+    index.unpersist()
+  }
+
   test("exact near-dup pairs equal the driver-side all-pairs ground truth") {
     val got = Similarity.cosineNearDupPairs(embeddings, minCosine = 0.3).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
