@@ -55,7 +55,12 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Similarity.IvfIndex)]
   private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfIndexes.get(d) match {
-      case Some((owner, idx)) if owner eq s => idx
+      // The assignment must still be cached: anyone calling
+      // spark.catalog.clearCache() silently unpersists it, and serving a
+      // de-cached index would make every probe re-scan + re-assign the
+      // corpus (the cost the index exists to amortize).
+      case Some((owner, idx)) if (owner eq s) &&
+          idx.assigned.storageLevel != org.apache.spark.storage.StorageLevel.NONE => idx
       case _ =>
         val idx = Similarity.buildIvf(Tables.embeddings(s, d))
         ivfIndexes.put(d, (s, idx))

@@ -121,6 +121,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("split contamination shingles once at runtime (exchange reuse)") {
+    // Plan-shape assertion: it must see the parquet-scan plan, not a
+    // CacheManager-substituted InMemoryRelation left behind by another
+    // suite (cache substitution changes canonicalization and defeats
+    // exchange reuse — observed flake when TextOpsSpec ran first).
+    spark.catalog.clearCache()
     val df = Dedup.ngramContaminationSplit(Tables.documents(spark, sf),
       pmod(col("doc_id"), lit(20)) === 0)
     df.collect() // reuse is adaptive — inspect the EXECUTED plan

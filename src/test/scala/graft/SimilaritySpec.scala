@@ -1,12 +1,17 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
 import graft.sim.Similarity
 
-class SimilaritySpec extends SparkSpec {
+class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
 
   private lazy val embeddings = Tables.embeddings(spark, sf).cache()
+
+  // Unpersist so the shared session's CacheManager never substitutes this
+  // cache into later suites' plans (plan-shape tests assume parquet scans).
+  override def afterAll(): Unit = { embeddings.unpersist(); super.afterAll() }
 
   /** Driver-side exact cosine for cross-checking the distributed op. */
   private def localTopK(k: Int): Seq[(Long, Double)] = {

@@ -1,14 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
 import graft.text.TextOps
 
-class TextOpsSpec extends SparkSpec {
+class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
 
   import spark.implicits._
 
   private lazy val docs = Tables.documents(spark, sf).cache()
+
+  // The shared session's CacheManager substitutes this cache into ANY
+  // later query over the same parquet — leaving it behind changes other
+  // suites' plans (and broke DedupSpec's exchange-reuse assertion).
+  override def afterAll(): Unit = { docs.unpersist(); super.afterAll() }
 
   test("token stats match a manual computation") {
     val first = docs.orderBy("doc_id").select("doc_id", "text").head()

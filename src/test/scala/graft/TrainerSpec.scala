@@ -13,7 +13,11 @@ import graft.ml.{Metrics, ScoringModel, Trainer}
   * (SURVEY.md §5 item 4). Iterations reduced from the reference's 100 to
   * keep the suite fast — the hyperparameter surface is covered by
   * TrainParams defaults. */
-class TrainerSpec extends SparkSpec {
+class TrainerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // Cache hygiene: leftover caches get substituted into later suites'
+  // plans by the shared session's CacheManager.
+  override def afterAll(): Unit = { trainingDf.unpersist(); super.afterAll() }
 
   private lazy val base = Files.createTempDirectory("graft_ml").toString
   private lazy val store = new FeatureStore(spark, base)
