@@ -290,6 +290,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnnJoin(ivfIndex(s, d), emb.filter(col("vec_id") < 5), 10)
     }),
+    // Gopher-style repetition quality signals: duplicate-token fraction,
+    // longest same-token run, top-bigram frequency — all map-only (the
+    // top-gram count is the longest equal-run of the sorted gram array,
+    // so no doc×gram shuffle exists anywhere in the plan).
+    "q68_repetition" -> ((s, d) => TextOps.repetitionSignals(Tables.documents(s, d))),
+    // Near-dup clustering over embedding-cosine pairs: connected components
+    // via iterative hash-to-min label propagation; every vector gets its
+    // component's min id as cluster_id, the min member is representative.
+    // Oracle: recursive-CTE transitive closure over the same pair set.
+    "q69_embedding_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.clusterPairs(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_representative"))
+        .orderBy("vec_id")
+    }),
     // Hive-style partitioned feature table: a predicate on the partition
     // column prunes to one directory at planning time (PartitionFilters in
     // the scan — asserted by PlanSpec) — the layout that turns a 100 TB
@@ -800,6 +817,60 @@ object SparkEntry {
         |           - k.k * INTERVAL '30 minutes' AS window_start
         |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
         |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    // max_token_run / top_ngram_count are gaps-and-islands in SQL; the
+    // Spark side computes them as array max-runs (map-only) — same values.
+    "q68_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, w, len(w) AS n_tokens,
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE [] END AS g
+        |  FROM t),
+        |big AS (SELECT doc_id, unnest(g) AS bg FROM base),
+        |topb AS (SELECT doc_id, MAX(c) AS top_ngram_count FROM (
+        |    SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2) GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |          unnest(range(1, len(w) + 1)) AS pos FROM t),
+        |runs AS (SELECT doc_id, tok,
+        |           pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |         FROM tok),
+        |mr AS (SELECT doc_id, MAX(c) AS max_token_run FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM runs GROUP BY doc_id, tok, grp) GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+        |  CAST(coalesce(mr.max_token_run, 0) AS INTEGER) AS max_token_run,
+        |  CAST(coalesce(topb.top_ngram_count, 0) AS INTEGER) AS top_ngram_count,
+        |  round(CASE WHEN len(g) > 0
+        |        THEN CAST(coalesce(topb.top_ngram_count, 0) AS DOUBLE) / len(g)
+        |        ELSE 0 END, 6) AS top_ngram_frac
+        |FROM base b LEFT JOIN topb USING (doc_id) LEFT JOIN mr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Connected components of the cosine >= 0.4 pair graph via recursive
+    // transitive closure; cluster_id = min vec_id reachable. Same unrounded
+    // threshold as the q35 pair generation.
+    "q69_embedding_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |undirected AS (
+        |  SELECT va AS u, vb AS v FROM pairs
+        |  UNION SELECT vb, va FROM pairs),
+        |closure(u, v) AS (
+        |  SELECT u, v FROM undirected
+        |  UNION
+        |  SELECT c.u, d.v FROM closure c JOIN undirected d ON c.v = d.u),
+        |comp AS (
+        |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM closure GROUP BY u)
+        |SELECT e.vec_id,
+        |  coalesce(comp.cluster_id, e.vec_id) AS cluster_id,
+        |  coalesce(comp.cluster_id, e.vec_id) = e.vec_id AS is_representative
+        |FROM embeddings e LEFT JOIN comp USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
     "q66_profile" -> ProfileColumns.map(c =>
         s"""SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls,
            |  COUNT(DISTINCT $c) AS n_distinct,

@@ -138,6 +138,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Longest run of equal consecutive elements in a string array, as a
+    * single higher-order `aggregate` — no explode, no shuffle, stays in
+    * whole-stage codegen. Empty arrays yield 0. */
+  private def maxRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull && x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition quality signals (the Gopher/MassiveText family of filters):
+    * per document, the duplicate-token fraction, the longest consecutive
+    * same-token run, and the frequency of the most common word `n`-gram —
+    * excessive repetition is the strongest cheap predictor of degenerate or
+    * boilerplate text in pretraining corpora.
+    *
+    * Scale shape: entirely MAP-ONLY. The classic formulation (explode
+    * n-grams, groupBy (doc, gram), max count per doc) shuffles the whole
+    * exploded corpus; here the top-gram count is instead computed per row
+    * as the longest equal-run of the SORTED n-gram array ([[maxRun]] over
+    * `array_sort` — sorting groups equal grams, so the longest run IS the
+    * top gram's count), and the token-run signal is [[maxRun]] over the raw
+    * token array. No shuffle anywhere until the final presentation sort. */
+  def repetitionSignals(documents: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toks = col("__toks")
+    val grams =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), toks, grams.as("__grams"))
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("dup_token_frac"),
+        maxRun(toks).as("max_token_run"),
+        maxRun(array_sort(col("__grams"))).as("top_ngram_count"),
+        size(col("__grams")).as("__n_grams"))
+      .withColumn("top_ngram_frac",
+        round(when(col("__n_grams") > 0,
+          col("top_ngram_count").cast("double") / col("__n_grams"))
+          .otherwise(lit(0.0)), 6))
+      .drop("__n_grams")
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints: full SHA-256 plus a prefix SHA-256 (first 64
     * chars) — join keys for exact dedup and cheap prefix-level blocking.
     * (A 64-bit xxHash variant lives in [[simHash]]'s token hashing.) */

@@ -172,6 +172,51 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("repetition signals match a manual computation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b c"),
+      (2L, "x y x y x"),
+      (3L, "unique words only here")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Double]("dup_token_frac"),
+          r.getAs[Int]("max_token_run"), r.getAs[Int]("top_ngram_count"),
+          r.getAs[Double]("top_ngram_frac"))).toMap
+    // doc 1: tokens {a×3, b, c}; run a a a = 3; bigrams [a a, a a, a b, b c]
+    assert(out(1L) == ((5, 0.4, 3, 2, 0.5)))
+    // doc 2: alternating — no run; top bigram "x y" appears 2 of 4
+    assert(out(2L) == ((5, 0.6, 1, 2, 0.5)))
+    // doc 3: all distinct — top bigram count 1 of 3
+    assert(out(3L) == ((4, 0.0, 1, 1, 0.333333)))
+  }
+
+  test("repetition signals: single-token doc has zero gram stats") {
+    import spark.implicits._
+    val out = TextOps.repetitionSignals(Seq((9L, "solo")).toDF("doc_id", "text")).head()
+    assert(out.getAs[Int]("n_tokens") == 1)
+    assert(out.getAs[Double]("dup_token_frac") == 0.0)
+    assert(out.getAs[Int]("max_token_run") == 1)
+    assert(out.getAs[Int]("top_ngram_count") == 0)
+    assert(out.getAs[Double]("top_ngram_frac") == 0.0)
+  }
+
+  test("sorted-array max-run equals the explode+groupBy top-gram count") {
+    // The map-only formulation must agree with the classic shuffle
+    // formulation on the real fixture.
+    val viaAgg = TextOps.repetitionSignals(docs)
+      .select("doc_id", "top_ngram_count").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val classic = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1)," +
+          " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(max("count").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(viaAgg == classic)
+  }
+
   test("normalized dedup groups case/punctuation/whitespace variants") {
     import spark.implicits._
     val d = Seq(
