@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
         "HashAggregate"))
   }
 
+  test("q68 repetition signals are map-only: no explode, no join, no agg shuffle") {
+    // The top-gram count must come from the sorted-array max-run, never the
+    // explode + groupBy(doc, gram) formulation this operator exists to avoid.
+    assertPlan("q68_repetition",
+      mustNot = Seq("Generate", "SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct", "HashAggregate"),
+      mustContain = Nil)
+  }
+
   test("q53 bm25 ranks via TakeOrderedAndProject with broadcast statistics") {
     assertPlan("q53_bm25",
       mustContain = Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
