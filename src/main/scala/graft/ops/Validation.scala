@@ -34,22 +34,33 @@ object Validation {
       .orderBy("column_name")
   }
 
-  /** One-pass table profile: per column — nulls, exact distinct count, and
+  /** One-pass table profile: per column — nulls, distinct count, and
     * min/max rendered as strings (so heterogeneous column types unpivot
     * into one result shape). The distributed `DESCRIBE` of table
     * management: everything folds into ONE aggregation over one scan (the
     * per-column aggregates all ride the same job), then a constant-size
-    * unpivot. At extreme column counts swap `countDistinct` for
-    * `approx_count_distinct` (same call shape, sketch-sized state — see
-    * [[Sketches]]); exact is used here so the result is oracle-checkable. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * unpivot.
+    *
+    * `exactDistinct = true` (q66 — oracle-checkable) plans N parallel
+    * `countDistinct`s, which Spark executes through an Expand: the input is
+    * replicated once per distinct aggregate and shuffled — N+1× the table
+    * through the exchange. Fine at dimension-table scale; at 100 TB wide-
+    * table scale pass `false` to profile with `approx_count_distinct`
+    * (mergeable HLL sketches, see [[Sketches]]): NO Expand, no row
+    * replication, map-side partial aggregation, one sketch per column of
+    * state — the same shape as every other aggregate in the job. */
+  def profile(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true,
+      rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
     val aggs = cols.flatMap { c =>
+      val distinct =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c), rsd)
       Seq(
         sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__distinct_$c"),
+        distinct.as(s"__distinct_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__n_rows")

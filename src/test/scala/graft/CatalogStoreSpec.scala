@@ -158,4 +158,24 @@ class CatalogStoreSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(audit.toSeq == Seq(("x", 1L, 3L), ("y", 1L, 3L)))
   }
+
+  test("approx profile: close to exact, and the plan carries no Expand") {
+    val orders = Tables.orders(spark, sf)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val exact = Validation.profile(orders, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approxDf = Validation.profile(orders, cols, exactDistinct = false)
+    // The scale path must not replicate the input per distinct aggregate.
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile still plans an Expand")
+    val approx = approxDf.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) / e <= 0.15, s"$c: approx $a vs exact $e")
+    }
+    // Everything except the distinct estimate is identical in both modes.
+    val exactRest = Validation.profile(orders, cols).drop("n_distinct").collect().toSeq
+    val approxRest = approxDf.drop("n_distinct").collect().toSeq
+    assert(exactRest == approxRest)
+  }
 }
