@@ -320,7 +320,23 @@ object SparkEntry {
         .filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
-    }))
+    }),
+    // Deterministic stratified sample: 20 docs per source ranked by
+    // md5(doc_id) — seedless, engine-independent, nested ranks.
+    "q70_group_sample" -> ((s, d) =>
+      graft.ops.Curation.groupSample(Tables.documents(s, d), 20)),
+    // Per-source heavy hitters: top-5 tokens per source (explode →
+    // partial-agg hash aggregate → WindowGroupLimit rank filter).
+    "q71_top_tokens" -> ((s, d) =>
+      TextOps.topTokensPerSource(Tables.documents(s, d), 5)),
+    // Declarative one-pass expectation suite over orders — the executable
+    // ingestion contract (all rules ride a single aggregation job).
+    "q72_expectations" -> ((s, d) =>
+      Validation.expectations(Tables.orders(s, d), OrdersExpectations)),
+    // Per-label embedding centroids via Summarizer.mean (map-side vector
+    // partials; the unpivot touches only the labels x d result).
+    "q73_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -333,6 +349,16 @@ object SparkEntry {
   val ProfileColumns: Seq[String] = Seq(
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority")
+
+  /** Expectation suite for q72 — the ingestion contract of the orders
+    * table (mirrored line-for-line by the oracle SQL's CASE counts). */
+  val OrdersExpectations: Seq[Validation.Expectation] = Seq(
+    Validation.Expectation("key_not_null", col("o_orderkey").isNotNull),
+    Validation.Expectation("positive_price", col("o_totalprice") > 0),
+    Validation.Expectation("status_in_domain",
+      col("o_orderstatus").isin("O", "F", "P")),
+    Validation.Expectation("date_in_range",
+      col("o_orderdate").between("1992-01-01", "1998-12-31")))
 
   /** exact decimal view of a 2-decimal money column (DuckDB fragment) */
   private def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -877,5 +903,49 @@ object SparkEntry {
            |  CAST(MIN($c) AS VARCHAR) AS min_value,
            |  CAST(MAX($c) AS VARCHAR) AS max_value,
            |  COUNT(*) AS n_rows FROM orders""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // md5 of the decimal doc_id string is identical across engines, so the
+    // per-source permutation (and therefore the sample) matches exactly.
+    "q70_group_sample" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20
+        |ORDER BY doc_id""".stripMargin,
+    "q71_top_tokens" ->
+      """SELECT source, token, n, token_rank FROM (
+        |  SELECT source, token, n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, token) AS INTEGER) AS token_rank
+        |  FROM (
+        |    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |      SELECT source, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |    GROUP BY source, token))
+        |WHERE token_rank <= 5
+        |ORDER BY source, token_rank""".stripMargin,
+    // Mirrors OrdersExpectations rule-for-rule: violation = predicate false
+    // OR NULL (the pessimistic three-valued resolution).
+    "q72_expectations" ->
+      """WITH agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS key_not_null,
+        |  CAST(SUM(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS positive_price,
+        |  CAST(SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS status_in_domain,
+        |  CAST(SUM(CASE WHEN coalesce(o_orderdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31', FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS date_in_range
+        |  FROM orders)
+        |SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'key_not_null' AS check_name, n_rows, key_not_null AS n_violations FROM agg
+        |  UNION ALL SELECT 'positive_price', n_rows, positive_price FROM agg
+        |  UNION ALL SELECT 'status_in_domain', n_rows, status_in_domain FROM agg
+        |  UNION ALL SELECT 'date_in_range', n_rows, date_in_range FROM agg)
+        |ORDER BY check_name""".stripMargin,
+    "q73_label_centroids" ->
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(pos AS INTEGER) AS pos, round(AVG(v), 4) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin)
 }

@@ -31,6 +31,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sample: exactly `min(perSource, |source|)`
+    * documents from every source, chosen by ranking each source's docs on
+    * `md5(doc_id)` — a seedless uniform permutation that any engine
+    * reproduces bit-for-bit (no `rand()`, no partition-order dependence),
+    * so eval-set construction and corpus inspection pulls are replayable
+    * and oracle-checkable. Rows carry `sample_rank` so a caller can later
+    * tighten the budget (rank ≤ m, m < perSource) WITHOUT resampling — the
+    * ranks nest by construction.
+    *
+    * One window over source — a single shuffle keyed by the group column;
+    * per-group state is O(1) (row_number), so a 100 TB corpus with bounded
+    * sources streams through without skew concerns beyond the largest
+    * source's row count. */
+  def groupSample(documents: DataFrame, perSource: Int): DataFrame = {
+    require(perSource > 0, "perSource must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("__h"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perSource)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic mixture resampling — the other half of mixture control:
     * per-source sampling/repetition rates in percent. rate 50 keeps half the
     * docs, 100 keeps all, 250 emits 2 full epochs plus half a third — the

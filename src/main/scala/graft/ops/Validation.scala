@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality predicates over DataFrames (reference P5:
@@ -78,5 +78,37 @@ object Validation {
       .select(col("p.column_name"), col("p.n_nulls"), col("p.n_distinct"),
         col("p.min_value"), col("p.max_value"), col("n_rows"))
       .orderBy("column_name")
+  }
+
+  /** A named row-level data-quality rule: a row VIOLATES the expectation
+    * when `predicate` evaluates to false or NULL (three-valued logic is
+    * resolved pessimistically — an unknown is a violation, so
+    * `col("x") > 0` catches null x without spelling out the null check). */
+  final case class Expectation(name: String, predicate: Column)
+
+  /** Declarative expectation suite over a frame — the create_table-time
+    * contract check of feature-store ingestion (the executable form of the
+    * reference's scattered pre-flight guards: non-empty, PK present,
+    * notebooks/01_feature_table_creation.py:142-174). Returns one row per
+    * expectation: (check_name, n_rows, n_violations, passed).
+    *
+    * All expectations fold into ONE aggregation over one scan (a
+    * conditional count per rule riding a single agg job, like [[profile]]),
+    * then a constant-size unpivot — cost is one pass regardless of how many
+    * rules are declared, no driver-side row iteration, so the suite runs at
+    * full-corpus scale as cheaply as a count(*). */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectation names must be unique")
+    val aggs = rules.map(r =>
+      sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)).as(r.name)) :+
+      count(lit(1)).as("__n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("__n_rows")), rules.map(r => col(r.name)).toArray,
+        "check_name", "n_violations")
+      .select(col("check_name"), col("__n_rows").as("n_rows"),
+        col("n_violations"), (col("n_violations") === 0L).as("passed"))
+      .orderBy("check_name")
   }
 }

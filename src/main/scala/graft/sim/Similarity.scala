@@ -277,6 +277,30 @@ object Similarity {
     }
   }
 
+  /** Per-label embedding centroids, unpivoted to (label, n_vectors, pos,
+    * centroid) rows with 1-based positions — class prototypes for
+    * centroid-based classification, drift monitoring, or IVF-style cell
+    * seeding per label.
+    *
+    * The aggregation is `Summarizer.mean` — Spark ML's vector aggregator
+    * with map-side partial summaries, so the exchange carries one
+    * d-dimensional partial per (partition × label), NOT the d×N exploded
+    * element rows a posexplode-then-groupBy formulation would shuffle. The
+    * unpivot happens AFTER aggregation, on the labels×d-sized result. */
+  def labelCentroids(embeddings: DataFrame, roundDigits: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.stat.Summarizer
+    graft.ops.Partitioning.spread(embeddings)
+      .select(col("label"), array_to_vector(col("embedding")).as("__v"))
+      .groupBy(col("label"))
+      .agg(Summarizer.mean(col("__v")).as("__mean"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("n_vectors"),
+        posexplode(vector_to_array(col("__mean"))).as(Seq("pos", "centroid")))
+      .select(col("label"), col("n_vectors"), (col("pos") + 1).as("pos"),
+        round(col("centroid"), roundDigits).as("centroid"))
+      .orderBy("label", "pos")
+  }
+
   // ---- storage quantization -------------------------------------------------
 
   /** Symmetric int8 scalar quantization of the embedding column: per-vector

@@ -123,6 +123,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source heavy hitters: the `k` most frequent tokens of every
+    * source, with deterministic (count desc, token asc) tie-breaks — the
+    * vocabulary-drift / boilerplate-detection readout of corpus curation
+    * (a source whose top tokens are markup is a source to re-filter).
+    *
+    * Scale shape: explode → hash-aggregate benefits from map-side partial
+    * aggregation (the doc_id×token blowup collapses to (source, token)
+    * partials before the exchange), and the rank window's
+    * `row_number ≤ k` filter is pushed into a WindowGroupLimit, so each
+    * partition forwards only k candidates per source rather than the whole
+    * per-source vocabulary. */
+  def topTokensPerSource(documents: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("n"), col("token"))
+    graft.ops.Partitioning.spread(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("token_rank", row_number().over(w))
+      .filter(col("token_rank") <= k)
+      .orderBy("source", "token_rank")
+  }
+
   /** Quality scoring: length band, stopword ratio, lexical diversity — the
     * standard cheap filters applied before expensive pipeline stages. */
   def qualityScore(documents: DataFrame): DataFrame = {

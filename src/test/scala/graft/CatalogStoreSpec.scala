@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.fs.{CatalogFeatureStore, FeatureLookup, LookupHint, PrimaryKeyViolation, TrainingSet}
 import graft.ingest.{CsvIngest, SourceValidation}
 import graft.ops.Validation
@@ -157,6 +159,32 @@ class CatalogStoreSpec extends SparkSpec {
     val audit = Validation.nullAudit(df, Seq("x", "y")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(audit.toSeq == Seq(("x", 1L, 3L), ("y", 1L, 3L)))
+  }
+
+  test("expectations: one-pass suite counts violations with null = violation") {
+    val df = Seq(
+      (Some(1), Some(10.0)),  // passes both
+      (Some(2), Some(-1.0)),  // fails positive
+      (None, Some(5.0)),      // fails key_set
+      (Some(4), None))        // NULL price => pessimistic violation
+      .toDF("k", "price")
+    val out = Validation.expectations(df, Seq(
+      Validation.Expectation("key_set", col("k").isNotNull),
+      Validation.Expectation("positive", col("price") > 0))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("key_set", 4L, 1L, false),
+      ("positive", 4L, 2L, false)))
+    // A clean frame passes everything.
+    val clean = Validation.expectations(df.na.drop().filter(col("price") > 0),
+      Seq(Validation.Expectation("positive", col("price") > 0))).collect()
+    assert(clean.forall(_.getBoolean(3)))
+    // Duplicate rule names are a caller bug, not a silent column collision.
+    intercept[IllegalArgumentException] {
+      Validation.expectations(df, Seq(
+        Validation.Expectation("dup", col("k").isNotNull),
+        Validation.Expectation("dup", col("price") > 0)))
+    }
   }
 
   test("approx profile: close to exact, and the plan carries no Expand") {

@@ -34,6 +34,22 @@ class CurationSpec extends SparkSpec {
     epochs.foreach { case (id, es) => assert(es == (1 to es.size), s"doc $id epochs $es") }
   }
 
+  test("group sample: exact per-source counts, partition-independent, nested ranks") {
+    val d = docs(0 until 100, "big").union(docs(100 until 103, "tiny"))
+    val out = Curation.groupSample(d, 10).collect()
+    val bySource = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource == Map("big" -> 10, "tiny" -> 3)) // min(k, |source|)
+
+    // Determinism across physical layout: the sample is a pure function of
+    // the data, not of partitioning.
+    val shuffled = Curation.groupSample(d.repartition(7), 10).collect()
+    assert(out.map(_.toSeq).toSet == shuffled.map(_.toSeq).toSet)
+
+    // Nested ranks: the k=5 sample is exactly the rank<=5 prefix of k=10.
+    val smaller = Curation.groupSample(d, 5).collect().map(_.toSeq).toSet
+    assert(smaller == out.filter(_.getInt(2) <= 5).map(_.toSeq).toSet)
+  }
+
   test("mixture sampling is deterministic (two runs agree row-for-row)") {
     val d = docs(0 until 50, "s")
     val a = Curation.mixtureSample(d, Map("s" -> 130)).collect().toSeq

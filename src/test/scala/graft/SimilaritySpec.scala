@@ -123,6 +123,29 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("label centroids match the driver-side per-label mean") {
+    val rows = embeddings.select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val want = rows.groupBy(_._1).map { case (label, vs) =>
+      val n = vs.length
+      val mean = vs.map(_._2).transpose.map(c => c.sum / n)
+      label -> (n.toLong, mean)
+    }
+    val got = Similarity.labelCentroids(embeddings).collect()
+    assert(got.length == want.size * rows.head._2.length)
+    got.foreach { r =>
+      val (label, n, pos, c) =
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      val (wantN, wantMean) = want(label)
+      assert(n == wantN)
+      assert(pos >= 1 && pos <= wantMean.length)
+      // Summarizer's online mean vs the naive sum/n agree well inside the
+      // emitted 4-digit rounding.
+      assert(math.abs(c - wantMean(pos - 1)) <= 1e-4,
+        s"label $label pos $pos: $c vs ${wantMean(pos - 1)}")
+    }
+  }
+
   test("int8 quantization: code shape, per-component error bound, cosine fidelity") {
     val rows = Similarity.dequantize(Similarity.quantize(embeddings))
       .select("embedding", "q_scale", "q_embedding", "deq_embedding").collect()

@@ -78,6 +78,20 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
 
+  test("top tokens per source: counts and deterministic tie-breaks") {
+    val d = Seq(
+      (1L, "s1", "a a a b b c"),
+      (2L, "s1", "b z"),
+      (3L, "s2", "x y"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.topTokensPerSource(d, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // s1: a=3, b=3 — the count tie breaks on token asc; s2: x=1, y=1.
+    assert(out.toSeq == Seq(
+      ("s1", "a", 3L, 1), ("s1", "b", 3L, 2),
+      ("s2", "x", 1L, 1), ("s2", "y", 1L, 2)))
+  }
+
   test("quality score: stopword ratio in [0,1], length flag consistent") {
     TextOps.qualityScore(docs).collect().foreach { r =>
       val ratio = r.getAs[Double]("stopword_ratio")
