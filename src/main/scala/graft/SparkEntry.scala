@@ -336,7 +336,14 @@ object SparkEntry {
     // Per-label embedding centroids via Summarizer.mean (map-side vector
     // partials; the unpivot touches only the labels x d result).
     "q73_label_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(Tables.embeddings(s, d))))
+      Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // Sketch-based heavy hitters (the q71 scale path): bounded approx_top_k
+    // state per source, no vocabulary-wide aggregate. The oracle is the
+    // EXACT top-k SQL — valid because the fixture vocabularies sit far
+    // inside maxItemsTracked (counts exact) and the fetch-slack re-rank
+    // pins tied boundaries to the same deterministic order.
+    "q74_approx_top_tokens" -> ((s, d) =>
+      TextOps.approxTopTokensPerSource(Tables.documents(s, d), 5)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -947,5 +954,19 @@ object SparkEntry {
         |FROM (SELECT label, unnest(embedding) AS v,
         |        generate_subscripts(embedding, 1) AS pos FROM embeddings)
         |GROUP BY label, pos
-        |ORDER BY label, pos""".stripMargin)
+        |ORDER BY label, pos""".stripMargin,
+    // The sketch path is exact while unsaturated (see the q74 query note),
+    // so the oracle is the same exact top-k SQL as q71.
+    "q74_approx_top_tokens" ->
+      """SELECT source, token, n, token_rank FROM (
+        |  SELECT source, token, n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, token) AS INTEGER) AS token_rank
+        |  FROM (
+        |    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |      SELECT source, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |    GROUP BY source, token))
+        |WHERE token_rank <= 5
+        |ORDER BY source, token_rank""".stripMargin)
 }

@@ -146,6 +146,40 @@ object TextOps {
       .orderBy("source", "token_rank")
   }
 
+  /** Sketch-based per-source heavy hitters — the 100 TB path for
+    * [[topTokensPerSource]]: one `approx_top_k` aggregate per source keeps
+    * a BOUNDED frequency sketch (`maxItemsTracked` counters) as group
+    * state, so neither the per-source vocabulary aggregate nor its rank
+    * window ever materializes — the exchange carries one sketch per
+    * (partition × source) instead of the full (source, token) space, and
+    * merge is associative (same mergeable-summary discipline as
+    * [[graft.ops.Sketches]]). Estimated counts are exact whenever a
+    * source's distinct tokens fit inside `maxItemsTracked` (the sketch
+    * never saturates); beyond that they are upper-bound estimates with the
+    * usual space-saving guarantees.
+    *
+    * Which items the sketch returns at a TIED boundary count is
+    * unspecified, so `fetchSlack` extra items are pulled from it and the
+    * deterministic (count desc, token asc) re-rank cuts back to `k` — the
+    * emitted rows then match the exact form whenever every token counting
+    * at least the k-th boundary count fits in `k + fetchSlack`. */
+  def approxTopTokensPerSource(documents: DataFrame, k: Int = 5,
+      maxItemsTracked: Int = 10000, fetchSlack: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(fetchSlack >= 0, "fetchSlack must be non-negative")
+    graft.ops.Partitioning.spread(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"))
+      .agg(expr(s"approx_top_k(token, ${k + fetchSlack}, $maxItemsTracked)").as("__top"))
+      .select(col("source"), explode(col("__top")).as("t"))
+      .select(col("source"), col("t.item").as("token"), col("t.count").as("n"))
+      .withColumn("token_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(desc("n"), col("token"))))
+      .filter(col("token_rank") <= k)
+      .orderBy("source", "token_rank")
+  }
+
   /** Quality scoring: length band, stopword ratio, lexical diversity — the
     * standard cheap filters applied before expensive pipeline stages. */
   def qualityScore(documents: DataFrame): DataFrame = {

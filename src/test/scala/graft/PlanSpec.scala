@@ -49,6 +49,13 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct"))
   }
 
+  test("q71 top tokens: rank filter pushed to WindowGroupLimit, partial agg before shuffle") {
+    val p = plan("q71_top_tokens")
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
+    // HashAggregate appears twice (partial + final) around one Exchange.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("q35 exact near-dup: broadcast nested loop, never a cartesian product") {
     assertPlan("q35_embedding_neardup",
       mustContain = Seq("BroadcastNestedLoopJoin"),

@@ -92,6 +92,16 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
       ("s2", "x", 1L, 1), ("s2", "y", 1L, 2)))
   }
 
+  test("approx top tokens agree with the exact form while the sketch is unsaturated") {
+    val exact = TextOps.topTokensPerSource(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val approx = TextOps.approxTopTokensPerSource(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // Fixture vocabularies fit far inside maxItemsTracked, so the sketch
+    // counts are exact and the two paths must agree row-for-row.
+    assert(approx.toSeq == exact.toSeq)
+  }
+
   test("quality score: stopword ratio in [0,1], length flag consistent") {
     TextOps.qualityScore(docs).collect().foreach { r =>
       val ratio = r.getAs[Double]("stopword_ratio")
