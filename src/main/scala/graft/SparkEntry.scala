@@ -343,7 +343,11 @@ object SparkEntry {
     // inside maxItemsTracked (counts exact) and the fetch-slack re-rank
     // pins tied boundaries to the same deterministic order.
     "q74_approx_top_tokens" -> ((s, d) =>
-      TextOps.approxTopTokensPerSource(Tables.documents(s, d), 5)))
+      TextOps.approxTopTokensPerSource(Tables.documents(s, d), 5)),
+    // Watermarked stream-stream interval join: views matched to same-user
+    // purchases within 1 hour; both sides expire state past the watermark
+    // horizon. Oracle: the identical batch interval join.
+    "q75_stream_join" -> ((s, d) => EventStreams.attributionJoinStream(s, d)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -968,5 +972,18 @@ object SparkEntry {
         |      FROM documents)
         |    GROUP BY source, token))
         |WHERE token_rank <= 5
-        |ORDER BY source, token_rank""".stripMargin)
+        |ORDER BY source, token_rank""".stripMargin,
+    // Batch form of the stream-stream interval join; TIMESTAMP_NS is cast
+    // to microsecond TIMESTAMP first — the same truncation the Spark side
+    // applies reading the nanos fixture (see Tables.events).
+    "q75_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id AS user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+        |    AS micros_to_purchase
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin)
 }

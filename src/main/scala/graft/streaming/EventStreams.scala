@@ -185,6 +185,55 @@ object EventStreams {
     settle(spark, name, spark.table(name).orderBy("c_mktsegment"))
   }
 
+  /** Watermarked stream-stream interval join — the attribution workload:
+    * each view event joined to the same user's purchase events landing
+    * within one hour after it. Both sides carry event-time watermarks and
+    * the join condition bounds `purchase_ts` to a window anchored at
+    * `view_ts`, which is exactly what lets the engine EXPIRE buffered rows:
+    * a view older than (watermark − 1 hour) can never match a future
+    * purchase, so per-side state is bounded by the watermark horizon × rate,
+    * not by stream length. Append mode — each matched pair is emitted
+    * exactly once.
+    *
+    * The settled result equals the batch interval join (same predicates on
+    * the static frame): an inner join emits a pair exactly when both rows
+    * exist, regardless of micro-batch carving, provided no row arrives
+    * later than the watermark slack — with the fixture's time-ordered
+    * files and a 2-hour watermark nothing is dropped (StreamingSpec
+    * asserts equality against the batch join). */
+  def attributionJoinStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = s"graft_stream_join_${runId.incrementAndGet()}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tag: String, eventType: String): DataFrame = {
+      val reader = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events*.parquet")
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      reader.parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${tag}_id"),
+          col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+    }
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+        col("view_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"),
+        col("view_user").as("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("micros_to_purchase"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    settle(spark, name, spark.table(name).orderBy("view_id", "purchase_id"))
+  }
+
   /** Detach a settled result from its memory sink: the sink's temp view
     * pins the FULL emission history in driver memory for the session's
     * lifetime, so repeated invocations (bench best-of-2, test suites) would

@@ -155,4 +155,31 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(multi == batch)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val batch = views.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("micros_to_purchase"))
+      .orderBy("view_id", "purchase_id")
+      .collect().toSeq
+    assert(batch.nonEmpty)
+
+    val streamed = EventStreams.attributionJoinStream(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    // Every pair's lag sits inside the attribution window.
+    streamed.foreach { r =>
+      val lag = r.getAs[Long]("micros_to_purchase")
+      assert(lag >= 0 && lag <= 3600L * 1000000)
+    }
+  }
 }

@@ -52,6 +52,9 @@ def values_equal(a, b) -> bool:
 
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Optional 3rd arg: comma-separated query names — check just those
+    # (pairs with Verify's SPARK_GRAFT_ONLY filtered dumps).
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -60,6 +63,8 @@ def main() -> int:
 
     failures = []
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
