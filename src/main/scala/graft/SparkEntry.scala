@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.dedup.Dedup
 import graft.fs.{CatalogFeatureStore, FeatureLookup, FeatureStore, LookupHint, TrainingSet}
@@ -347,7 +347,24 @@ object SparkEntry {
     // Watermarked stream-stream interval join: views matched to same-user
     // purchases within 1 hour; both sides expire state past the watermark
     // horizon. Oracle: the identical batch interval join.
-    "q75_stream_join" -> ((s, d) => EventStreams.attributionJoinStream(s, d)))
+    "q75_stream_join" -> ((s, d) => EventStreams.attributionJoinStream(s, d)),
+    // Greedy sequence packing: docs laid head-to-tail per source, cut into
+    // 512-token training sequences — integer-only window arithmetic.
+    "q76_sequence_pack" -> ((s, d) =>
+      graft.ops.Curation.packSequences(Tables.documents(s, d), 512)),
+    // Incremental ingest dedup: odd-id docs arrive against the even-id
+    // corpus; anti-join on content hash, within-batch collapse.
+    "q77_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+    // PSI feature drift: order totalprice distribution, pre-1996 reference
+    // vs current, 10 x 50k bins in one conditional-aggregation scan.
+    "q78_feature_drift" -> ((s, d) =>
+      Validation.psiDrift(Tables.orders(s, d),
+        col("o_orderdate") < "1996-01-01", "o_totalprice", 50000.0, 10)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -985,5 +1002,48 @@ object SparkEntry {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
-        |ORDER BY view_id, purchase_id""".stripMargin)
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // Integer-only packing arithmetic: // and % on the cumulative token
+    // count mirror Spark's div/pmod exactly.
+    "q76_sequence_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        |  cum_before // 512 AS start_seq,
+        |  cum_before % 512 AS start_offset,
+        |  (cum_before + n_tokens - 1) // 512 AS end_seq
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q77_incremental_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, content_hash,
+        |  COUNT(*) AS n_copies_in_batch
+        |FROM (SELECT doc_id, sha256(text) AS content_hash
+        |      FROM documents WHERE doc_id % 2 = 1)
+        |WHERE content_hash NOT IN
+        |  (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
+        |GROUP BY content_hash
+        |ORDER BY doc_id""".stripMargin,
+    // Bin probabilities divide BIGINT counts into DOUBLE in both engines;
+    // psi terms are rounded at 6 digits after an identical-operand ln.
+    "q78_feature_drift" ->
+      """WITH counts AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000.0), 0), 9) AS INTEGER) AS bin,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        |               CAST(SUM(n_cur) AS BIGINT) AS tc FROM counts)
+        |SELECT bin, n_ref, n_cur,
+        |  round(CAST(n_ref AS DOUBLE) / tr, 6) AS p_ref,
+        |  round(CAST(n_cur AS DOUBLE) / tc, 6) AS p_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0
+        |    THEN round((CAST(n_ref AS DOUBLE) / tr - CAST(n_cur AS DOUBLE) / tc)
+        |      * ln((CAST(n_ref AS DOUBLE) / tr) / (CAST(n_cur AS DOUBLE) / tc)), 6)
+        |    ELSE 0.0 END AS psi_term
+        |FROM counts, tot ORDER BY bin""".stripMargin)
 }

@@ -27,6 +27,29 @@ object Dedup {
       .select("doc_id", "content_hash", "n_copies")
       .orderBy("doc_id")
 
+  /** Incremental ingest dedup — the snapshot-to-snapshot form of
+    * [[exactDedup]]: which `incoming` documents are genuinely NEW against
+    * an already-ingested corpus? Within-batch copies collapse to one
+    * representative (min doc_id, with the batch multiplicity), and any
+    * content already present in `existing` is dropped entirely.
+    *
+    * Scale shape: the probe is a LEFT ANTI equi-join keyed by the 32-byte
+    * content hash — document bodies never shuffle, and the anti-join build
+    * side is the existing corpus's distinct-hash set (narrow: hashes
+    * only). At 100 TB that hash set is the natural thing to persist
+    * between ingest runs (write it once, anti-join each new batch against
+    * it) rather than re-hashing the corpus per batch. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val seen = existing.select(sha2(col("text"), 256).as("content_hash")).distinct()
+    incoming
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies_in_batch"))
+      .select("doc_id", "content_hash", "n_copies_in_batch")
+      .orderBy("doc_id")
+  }
+
   /** Word `n`-shingles from a pre-materialized token array (documents
     * shorter than n words collapse to a single whole-text shingle).
     *

@@ -57,6 +57,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Greedy sequence packing — the last step of pretraining-data assembly:
+    * documents laid head-to-tail per source and cut into fixed
+    * `seqLen`-token training sequences. Each document reports the sequence
+    * it starts in (`start_seq`), its token offset inside it
+    * (`start_offset`), and the sequence it ends in (`end_seq` — docs
+    * longer than the remaining room straddle sequences, the standard
+    * concat-then-chunk packing that wastes zero tokens to padding).
+    *
+    * Layout is a pure function of (source, doc_id) order, so reruns and
+    * engines agree exactly; arithmetic is integer-only (`div`/`pmod` on
+    * the cumulative token count — no float rounding at corpus-scale
+    * offsets). One window shuffle keyed by source, same skew posture as
+    * [[tokenBudgetCap]]. */
+  def packSequences(documents: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div $seqLen").as("start_seq"),
+        pmod(col("cum_before"), lit(seqLen.toLong)).as("start_offset"),
+        expr(s"(cum_before + n_tokens - 1) div $seqLen").as("end_seq"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic mixture resampling — the other half of mixture control:
     * per-source sampling/repetition rates in percent. rate 50 keeps half the
     * docs, 100 keeps all, 250 emits 2 full epochs plus half a third — the

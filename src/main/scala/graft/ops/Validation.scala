@@ -80,6 +80,49 @@ object Validation {
       .orderBy("column_name")
   }
 
+  /** Population-stability-index drift per bin — the standard
+    * feature-monitoring readout between a reference window and the current
+    * one (a model whose inputs drift is a model to retrain; the reference's
+    * registry workflow implies exactly this check over time). Rows split
+    * by `isRef` (reference vs current) are bucketed into `nBins`
+    * fixed-width bins over `column` (outliers clamp into the edge bins);
+    * each bin reports its counts, its probability mass on both sides, and
+    * its PSI contribution `(p_ref − p_cur)·ln(p_ref / p_cur)` — summing
+    * `psi_term` gives the scalar PSI (<0.1 stable, >0.25 drifted by the
+    * usual rule of thumb). Bins empty on either side contribute 0 (the
+    * standard skip treatment, stated rather than epsilon-fudged).
+    *
+    * ONE scan: both splits bucket and count in a single conditional
+    * aggregation (no per-split jobs), and the totals window runs over the
+    * nBins-row aggregate, not the data. */
+  def psiDrift(df: DataFrame, isRef: Column, column: String,
+      binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
+    val bin = least(greatest(floor(col(column) / binWidth), lit(0)),
+      lit(nBins - 1)).cast("int")
+    val counts = df
+      .select(bin.as("bin"), isRef.as("__ref"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(coalesce(col("__ref"), lit(false)), 0L).otherwise(1L)).as("n_cur"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    counts
+      .withColumn("__tr", sum(col("n_ref")).over(whole))
+      .withColumn("__tc", sum(col("n_cur")).over(whole))
+      .withColumn("p_ref", col("n_ref") / col("__tr"))
+      .withColumn("p_cur", col("n_cur") / col("__tc"))
+      .select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6))
+          .otherwise(0.0).as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** A named row-level data-quality rule: a row VIOLATES the expectation
     * when `predicate` evaluates to false or NULL (three-valued logic is
     * resolved pessimistically — an unknown is a violation, so

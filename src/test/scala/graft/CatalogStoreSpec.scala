@@ -187,6 +187,25 @@ class CatalogStoreSpec extends SparkSpec {
     }
   }
 
+  test("psi drift: zero for identical distributions, positive for a shift") {
+    import spark.implicits._
+    // Same uniform values on both sides of the split: every psi term is 0.
+    val same = (0 until 1000).map(i => (i % 100 * 1.0, i % 2 == 0)).toDF("v", "ref")
+    val calm = Validation.psiDrift(same, col("ref"), "v", 10.0, 10).collect()
+    assert(calm.length == 10)
+    calm.foreach(r => assert(r.getDouble(5) == 0.0))
+
+    // Current split shifted up by 50: mass moves across bins, PSI > 0.25.
+    val drifted = ((0 until 500).map(i => (i % 100 * 1.0, true)) ++
+      (0 until 500).map(i => (i % 100 * 1.0 + 50, false))).toDF("v", "ref")
+    val psi = Validation.psiDrift(drifted, col("ref"), "v", 10.0, 10).collect()
+      .map(_.getDouble(5)).sum
+    assert(psi > 0.25, s"expected drifted PSI > 0.25, got $psi")
+    // Bin counts partition both sides completely.
+    val rows = Validation.psiDrift(drifted, col("ref"), "v", 10.0, 10).collect()
+    assert(rows.map(_.getLong(1)).sum == 500 && rows.map(_.getLong(2)).sum == 500)
+  }
+
   test("approx profile: close to exact, and the plan carries no Expand") {
     val orders = Tables.orders(spark, sf)
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")

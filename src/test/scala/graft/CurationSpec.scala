@@ -50,6 +50,37 @@ class CurationSpec extends SparkSpec {
     assert(smaller == out.filter(_.getInt(2) <= 5).map(_.toSeq).toSet)
   }
 
+  test("sequence packing: contiguous integer layout per source, straddling allowed") {
+    val d = Seq(
+      (1L, "s", "a b c"),          // 3 tokens: seq0 [0,3)
+      (2L, "s", "d e f g"),        // 4 tokens: seq0 [3,7) — straddles at L=5
+      (3L, "s", "h"),              // 1 token:  seq1 [7,8)
+      (4L, "t", "x y"))            // own source: restarts at 0
+      .toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(d, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, "s", 3L, 0L, 0L, 0L),
+      (2L, "s", 4L, 0L, 3L, 1L),   // starts in seq0 at offset 3, ends in seq1
+      (3L, "s", 1L, 1L, 2L, 1L),
+      (4L, "t", 2L, 0L, 0L, 0L)))
+
+    // Invariant on the real fixture: within a source, each doc starts
+    // exactly where the previous one ended (no token lost or duplicated).
+    val docs = Tables.documents(spark, sf)
+    val packed = Curation.packSequences(docs, 128).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    packed.values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, startSeq, startOff) =>
+        assert(startSeq == cum / 128 && startOff == cum % 128)
+        cum += n
+      }
+    }
+  }
+
   test("mixture sampling is deterministic (two runs agree row-for-row)") {
     val d = docs(0 until 50, "s")
     val a = Curation.mixtureSample(d, Map("s" -> 130)).collect().toSeq

@@ -36,6 +36,22 @@ class DedupSpec extends SparkSpec {
     assert(twice.count() == once.count())
   }
 
+  test("incremental dedup: already-seen content dropped, batch copies collapse") {
+    val existing = Seq((0L, "seen before"), (2L, "old news")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "seen before"),  // already in the corpus => dropped
+      (13L, "fresh"),        // genuinely new
+      (15L, "fresh"),        // batch copy of 13 => collapses into it
+      (17L, "also new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((13L, 2L), (17L, 1L)))
+    // Re-ingesting the admitted batch against the grown corpus yields nothing.
+    val grown = existing.union(incoming.filter(col("doc_id").isin(13L, 17L)))
+    assert(Dedup.incrementalDedup(grown, incoming).count() == 0)
+  }
+
   test("shingles produce n-grams; short docs collapse to whole text") {
     val sh = corpus.select(Dedup.shingles(col("text"), 3).as("sh")).head().getSeq[String](0)
     assert(sh.head == "the quick brown")
