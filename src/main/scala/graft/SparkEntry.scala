@@ -364,7 +364,13 @@ object SparkEntry {
     // vs current, 10 x 50k bins in one conditional-aggregation scan.
     "q78_feature_drift" -> ((s, d) =>
       Validation.psiDrift(Tables.orders(s, d),
-        col("o_orderdate") < "1996-01-01", "o_totalprice", 50000.0, 10)))
+        col("o_orderdate") < "1996-01-01", "o_totalprice", 50000.0, 10)),
+    // Two-stage retrieval: coarse int8-code scan -> pushed-down IN fetch
+    // -> exact rerank. Same oracle as q29: the int8 distortion (~1e-4) is
+    // ~30x smaller than the fixture's k-th boundary gap, so the coarse cut
+    // provably preserves the exact top-20.
+    "q79_quantized_topk" -> ((s, d) =>
+      Similarity.quantizedTwoStageTopK(Tables.embeddings(s, d), 0, 20)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1045,5 +1051,13 @@ object SparkEntry {
         |    THEN round((CAST(n_ref AS DOUBLE) / tr - CAST(n_cur AS DOUBLE) / tc)
         |      * ln((CAST(n_ref AS DOUBLE) / tr) / (CAST(n_cur AS DOUBLE) / tc)), 6)
         |    ELSE 0.0 END AS psi_term
-        |FROM counts, tot ORDER BY bin""".stripMargin)
+        |FROM counts, tot ORDER BY bin""".stripMargin,
+    // Exact top-k SQL (same as q29): see the q79 query note for why the
+    // two-stage plan provably returns it.
+    "q79_quantized_topk" ->
+      """SELECT vec_id, label,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
 }

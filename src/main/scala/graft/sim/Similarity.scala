@@ -328,6 +328,46 @@ object Similarity {
     quantized.withColumn("deq_embedding",
       transform(col("q_embedding"), v => (v.cast("double") * col("q_scale"))))
 
+  /** Two-stage retrieval over the quantized artifact — how a 100 TB ANN
+    * scan actually gets paid for: the COARSE pass streams the 4×-smaller
+    * int8 table and ranks by cosine over the codes (the per-vector scale
+    * cancels out of cosine, so codes rank directly — no dequantization),
+    * keeping `rerank` candidates via TakeOrderedAndProject; the RERANK
+    * pass fetches just those rows from the full-precision table through a
+    * pushed-down `IN` filter (the candidate-id list is a bounded driver
+    * value, ≤ `rerank` longs — the same scalar-collect discipline as the
+    * IVF probe selection) and re-scores exactly.
+    *
+    * Int8 cosine distortion is ≈1e-4 for these dims, so any true top-k
+    * item inside the coarse cut by a wider margin survives — with
+    * `rerank ≫ k` the result equals [[bruteForceTopK]] exactly (spec-
+    * asserted on the fixture, where the k-th boundary gap is ~30× the
+    * distortion). */
+  def quantizedTwoStageTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      rerank: Int = 100, roundDigits: Int = 6): DataFrame = {
+    require(rerank >= k, "rerank candidate count must be at least k")
+    val stored = quantize(embeddings)
+      .select(col("vec_id"), col("q_embedding"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("query_embedding"))
+    val candidateIds = graft.ops.Partitioning.spread(stored)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        cosine(col("q_embedding").cast("array<double>"), col("query_embedding")).as("__coarse"))
+      .orderBy(desc("__coarse"), col("vec_id"))
+      .limit(rerank)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    embeddings
+      .filter(col("vec_id").isin(candidateIds: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding").cast("array<double>"), col("query_embedding")),
+          roundDigits).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), col("vec_id"))
+      .limit(k)
+  }
+
   // ---- near-duplicate pairs -------------------------------------------------
 
   /** Above this threshold near-dup candidates are generated by AND-composed

@@ -123,6 +123,16 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("two-stage quantized retrieval equals the exact brute-force top-k") {
+    val exact = Similarity.bruteForceTopK(embeddings, 0, 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine_sim"))).toSeq
+    val staged = Similarity.quantizedTwoStageTopK(embeddings, 0, 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine_sim"))).toSeq
+    assert(staged == exact)
+    // Degenerate slack: rerank == k still returns k rows (pure coarse order).
+    assert(Similarity.quantizedTwoStageTopK(embeddings, 0, 5, rerank = 5).count() == 5)
+  }
+
   test("label centroids match the driver-side per-label mean") {
     val rows = embeddings.select("label", "embedding").collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
