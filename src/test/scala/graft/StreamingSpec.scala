@@ -181,5 +181,32 @@ class StreamingSpec extends SparkSpec {
       val lag = r.getAs[Long]("micros_to_purchase")
       assert(lag >= 0 && lag <= 3600L * 1000000)
     }
+
+    // Multi-batch: TIME-ORDERED slices (the ordering the operator's
+    // equality claim is conditioned on — each batch's earliest event must
+    // not trail the previous batch's watermark). Cross-batch pairs (view
+    // in slice i, purchase in slice i+1) must still be found from buffered
+    // join state.
+    val dir = java.nio.file.Files.createTempDirectory("graft_join_multi").toString
+    val tiles = ev.select(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (tiles.getTimestamp(0).getTime, tiles.getTimestamp(1).getTime)
+    val cut = (hi - lo) / 3
+    (0 until 3).foreach { i =>
+      val from = lo + i * cut
+      val until = if (i == 2) hi + 1 else lo + (i + 1) * cut
+      val slice = ev
+        .filter(col("ts") >= lit(new java.sql.Timestamp(from)) &&
+          col("ts") < lit(new java.sql.Timestamp(until)))
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    val multi = EventStreams.attributionJoinStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().toSeq
+    assert(multi == batch)
   }
 }
