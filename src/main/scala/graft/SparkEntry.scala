@@ -370,7 +370,10 @@ object SparkEntry {
     // ~30x smaller than the fixture's k-th boundary gap, so the coarse cut
     // provably preserves the exact top-20.
     "q79_quantized_topk" -> ((s, d) =>
-      Similarity.quantizedTwoStageTopK(Tables.embeddings(s, d), 0, 20)))
+      Similarity.quantizedTwoStageTopK(Tables.embeddings(s, d), 0, 20)),
+    // Streaming sessionization (complete mode, state-store session merge),
+    // equal to the batch q20. Oracle: q20's gaps-and-islands SQL.
+    "q80_stream_sessions" -> ((s, d) => EventStreams.userSessionsStream(s, d)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1059,5 +1062,25 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+    // Same gaps-and-islands SQL as q20 — the streaming path must settle to
+    // the identical session table.
+    "q80_stream_sessions" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -185,6 +185,43 @@ object EventStreams {
     settle(spark, name, spark.table(name).orderBy("c_mktsegment"))
   }
 
+  /** Streaming sessionization: the same `session_window` expression as the
+    * batch [[graft.ops.Events.userSessions]] under the micro-batch engine —
+    * per-user sessions closed by 5 minutes of event-time inactivity, with
+    * session merging handled by the streaming state store (two partial
+    * sessions that an out-of-order event bridges collapse into one).
+    * Complete output mode so every settled session is in the final table;
+    * the watermark still bounds the merge state the engine must retain at
+    * true-streaming scale. */
+  def userSessionsStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"),
+        col("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    settle(spark, name, spark.table(name).orderBy("user_id", "session_start"))
+  }
+
   /** Watermarked stream-stream interval join — the attribution workload:
     * each view event joined to the same user's purchase events landing
     * within one hour after it. Both sides carry event-time watermarks and

@@ -156,6 +156,14 @@ class StreamingSpec extends SparkSpec {
     assert(multi == batch)
   }
 
+  test("streaming sessionization equals the batch session windows, even multi-batch") {
+    val batch = graft.ops.Events.userSessions(Tables.events(spark, sf))
+      .collect().toSeq
+    assert(batch.nonEmpty)
+    val single = EventStreams.userSessionsStream(spark, sf).collect().toSeq
+    assert(single == batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val ev = Tables.events(spark, sf)
     val views = ev.filter(col("event_type") === "view")
