@@ -373,7 +373,29 @@ object SparkEntry {
       Similarity.quantizedTwoStageTopK(Tables.embeddings(s, d), 0, 20)),
     // Streaming sessionization (complete mode, state-store session merge),
     // equal to the batch q20. Oracle: q20's gaps-and-islands SQL.
-    "q80_stream_sessions" -> ((s, d) => EventStreams.userSessionsStream(s, d)))
+    "q80_stream_sessions" -> ((s, d) => EventStreams.userSessionsStream(s, d)),
+    // Pure-SQL path through the custom codegen'd vector kernels — the
+    // functions resolve from the session registry (GraftExtensions inject
+    // on extension-launched sessions; register() covers foreign sessions),
+    // so a SQL-only user gets the same fused-loop expressions as the DSL.
+    // Per-label cosine top-5 vs the vec 0 probe: grouped rank over a
+    // scalar-subquery broadcast, WindowGroupLimit keeps the shuffle at
+    // O(k · labels).
+    "q81_sql_label_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings_sql")
+      s.sql(
+        """WITH scored AS (
+          |  SELECT label, vec_id,
+          |    round(graft_cosine_similarity(embedding,
+          |      (SELECT embedding FROM graft_embeddings_sql WHERE vec_id = 0)), 6) AS cosine_sim
+          |  FROM graft_embeddings_sql WHERE vec_id <> 0)
+          |SELECT label, vec_id, cosine_sim FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine_sim DESC, vec_id) AS rn
+          |  FROM scored)
+          |WHERE rn <= 5
+          |ORDER BY label, cosine_sim DESC, vec_id""".stripMargin)
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1082,5 +1104,19 @@ object SparkEntry {
          |  COUNT(*) AS n_events,
          |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
          |FROM sessions GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin)
+         |ORDER BY user_id, session_start""".stripMargin,
+    // Same rounding + tie-break discipline as q29 (proven hash-stable):
+    // rank by the ROUNDED score in both engines so float tails can't
+    // reorder ties differently.
+    "q81_sql_label_topk" ->
+      """WITH scored AS (
+        |  SELECT label, vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT label, vec_id, cosine_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine_sim DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5
+        |ORDER BY label, cosine_sim DESC, vec_id""".stripMargin)
 }

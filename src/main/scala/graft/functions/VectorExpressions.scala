@@ -147,10 +147,84 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unit-normalize an embedding: `x / ‖x‖₂` as one fused codegen'd pass
+  * (accumulate the sum of squares, then divide each element by the norm).
+  * The all-zero vector has no direction; it maps to itself (all zeros),
+  * which downstream cosine/dot treat as "similar to nothing" (score 0).
+  * Output is always `array<double>` — normalization leaves the unit sphere
+  * of floats, so widening is the honest type.
+  *
+  * Composes with [[CosineSimilarity]]: `cosine(l2_normalize(a),
+  * l2_normalize(b))` is recognized by
+  * [[graft.plans.NormalizedCosineToDot]] and strength-reduced to the
+  * norm-free [[DotProduct]]. */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float>/array<double> input, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      out(i) = x; ss += x * x
+      i += 1
+    }
+    if (ss != 0.0) {
+      val norm = math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) = out(i) / norm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, buf, ss, norm, i) =
+        (ctx.freshName("n"), ctx.freshName("buf"), ctx.freshName("ss"),
+          ctx.freshName("norm"), ctx.freshName("i"))
+      val getter =
+        if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |final double[] $buf = new double[$n];
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double x = $getter;
+         |  $buf[$i] = x; $ss += x * x;
+         |}
+         |if ($ss != 0.0) {
+         |  final double $norm = java.lang.Math.sqrt($ss);
+         |  for (int $i = 0; $i < $n; $i++) { $buf[$i] = $buf[$i] / $norm; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($buf);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   val CosineFunctionName = "graft_cosine_similarity"
   val DotFunctionName = "graft_dot_product"
+  val L2NormalizeFunctionName = "graft_l2_normalize"
 
   /** Back-compat alias for the cosine function name. */
   val FunctionName: String = CosineFunctionName
@@ -176,6 +250,49 @@ object VectorFunctions {
         DotProduct(exprs.head, exprs(1))
       },
       "built-in")
+    registry.createOrReplaceTempFunction(
+      L2NormalizeFunctionName,
+      { exprs =>
+        require(exprs.length == 1, s"$L2NormalizeFunctionName expects 1 argument")
+        L2Normalize(exprs.head)
+      },
+      "built-in")
+  }
+
+  /** The same three functions as `SparkSessionExtensions.injectFunction`
+    * descriptors, so sessions launched with
+    * `spark.sql.extensions=graft.GraftExtensions` get them at session
+    * creation — no imperative `register` call needed (the SQL-only user's
+    * path). */
+  def descriptions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(clazz: Class[_], name: String, usage: String) =
+      new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "")
+    Seq(
+      (FunctionIdentifier(CosineFunctionName),
+        info(classOf[CosineSimilarity], CosineFunctionName,
+          s"$CosineFunctionName(a, b) - cosine similarity of two embedding arrays (codegen'd fused loop)"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, s"$CosineFunctionName expects 2 arguments")
+          CosineSimilarity(exprs.head, exprs(1))
+        }),
+      (FunctionIdentifier(DotFunctionName),
+        info(classOf[DotProduct], DotFunctionName,
+          s"$DotFunctionName(a, b) - dot product of two embedding arrays (codegen'd fused loop)"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, s"$DotFunctionName expects 2 arguments")
+          DotProduct(exprs.head, exprs(1))
+        }),
+      (FunctionIdentifier(L2NormalizeFunctionName),
+        info(classOf[L2Normalize], L2NormalizeFunctionName,
+          s"$L2NormalizeFunctionName(a) - unit-normalize an embedding array (codegen'd fused loop)"),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, s"$L2NormalizeFunctionName expects 1 argument")
+          L2Normalize(exprs.head)
+        }))
   }
 
   /** Cosine similarity as a Column — codegen'd single-pass loop. */
@@ -188,5 +305,13 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function(DotFunctionName, a, b)
+  }
+
+  /** Unit-normalize as a Column — codegen'd single-pass loop. Composed
+    * under [[cosine_similarity]] it is strength-reduced to [[dot_product]]
+    * by [[graft.plans.NormalizedCosineToDot]]. */
+  def l2_normalize(a: Column): Column = {
+    register(SparkSession.active)
+    call_function(L2NormalizeFunctionName, a)
   }
 }
