@@ -395,6 +395,17 @@ object SparkEntry {
           |  FROM scored)
           |WHERE rn <= 5
           |ORDER BY label, cosine_sim DESC, vec_id""".stripMargin)
+    }),
+    // Streaming feature materialization: update-mode streaming aggregate
+    // upserted per micro-batch into a registered feature table
+    // (foreachBatch + PK merge — the continuous feature-refresh write
+    // path). Settled table == batch GROUP BY under any micro-batch
+    // carving; fresh store dir per call so repeated bench/verify runs
+    // start clean.
+    "q82_stream_materialize" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mat_store_${System.nanoTime()}"
+      graft.streaming.FeatureMaterialization.userTotalsMaterialized(
+        s, d, new FeatureStore(s, dir))
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1118,5 +1129,10 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine_sim DESC, vec_id) AS rn
         |  FROM scored) t
         |WHERE rn <= 5
-        |ORDER BY label, cosine_sim DESC, vec_id""".stripMargin)
+        |ORDER BY label, cosine_sim DESC, vec_id""".stripMargin,
+    // The materialized streaming table must equal the batch GROUP BY.
+    "q82_stream_materialize" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -45,6 +45,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batchTotals.collect().toSeq)
   }
 
+  test("streaming materialization upserts into the feature store, multi-batch, == batch GROUP BY") {
+    import graft.fs.FeatureStore
+    import graft.streaming.FeatureMaterialization
+    // Same 3-file carve as above: every micro-batch triggers a foreachBatch
+    // upsert, so the table is rewritten per batch — the settled read must
+    // still equal the batch GROUP BY (each key's last upsert carries its
+    // full aggregate).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mat").toString
+    val ev = Tables.events(spark, sf)
+    (0 until 3).foreach { i =>
+      val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_mat_store").toString
+    val store = new FeatureStore(spark, storeDir)
+    val settled = FeatureMaterialization.userTotalsMaterialized(
+      spark, dir, store, maxFilesPerTrigger = Some(1))
+    assert(settled.collect().toSeq == batchTotals.collect().toSeq)
+    // The table is durably in the store (re-read through the registry),
+    // keyed by user_id.
+    val table = store.readTable(FeatureMaterialization.TotalsTable)
+    assert(table.count() == batchTotals.count())
+    assert(store.getTable(FeatureMaterialization.TotalsTable).primaryKeys == Seq("user_id"))
+  }
+
   test("streaming dedup emits each distinct content hash once, even multi-batch") {
     val docs = Tables.documents(spark, sf)
     val batchHashes = docs.select(sha2(col("text"), 256).as("content_hash"))
