@@ -406,7 +406,14 @@ object SparkEntry {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mat_store_${System.nanoTime()}"
       graft.streaming.FeatureMaterialization.userTotalsMaterialized(
         s, d, new FeatureStore(s, dir))
-    }))
+    }),
+    // Integer-exact corpus-LM quality signal: per-doc bigram frequency
+    // classes (floor(log2 corpus-count)) — the n-gram-perplexity stand-in
+    // that needs no float tolerance.
+    "q83_bigram_quality" -> ((s, d) => TextOps.bigramQuality(Tables.documents(s, d))),
+    // Cross-source lexical-similarity matrix (distinct-token Jaccard per
+    // source pair) — mixture-governance input.
+    "q84_vocab_overlap" -> ((s, d) => TextOps.vocabularyOverlap(Tables.documents(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1134,5 +1141,35 @@ object SparkEntry {
     "q82_stream_materialize" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // floor(log2 c) via binary-string length — exact in both engines.
+    "q83_bigram_quality" ->
+      """WITH bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |classed AS (
+        |  SELECT doc_id,
+        |    CAST(length(bin(COUNT(*) OVER (PARTITION BY bigram))) - 1 AS INTEGER) AS freq_class
+        |  FROM bi)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(freq_class) AS BIGINT) AS sum_freq_class,
+        |  MIN(freq_class) AS min_freq_class
+        |FROM classed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q84_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+        |  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, shared,
+        |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON source_a = sa.source
+        |JOIN sizes sb ON source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin)
 }

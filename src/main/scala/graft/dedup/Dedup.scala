@@ -271,4 +271,5 @@ object Dedup {
   /** End-to-end MinHash near-dup dedup: pairs → clusters → representatives. */
   def minHashDedup(documents: DataFrame, n: Int = 3, maxDistance: Double = 0.6): DataFrame =
     clusterPairs(documents, minHashPairs(documents, n, maxDistance))
+
 }

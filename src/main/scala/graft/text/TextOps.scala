@@ -434,4 +434,74 @@ object TextOps {
         (col("lang") === col("profile_lang")).as("correct"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-LM quality signal without floats: score each document by how
+    * typical its word bigrams are of the corpus (the integer-exact stand-in
+    * for n-gram-LM perplexity filtering, the CCNet/Gopher quality-pipeline
+    * step — docs whose transitions are rare in the corpus are
+    * boilerplate-mangled or noise; docs of only ultra-common transitions
+    * are templates).
+    *
+    * Each bigram's corpus frequency `c` is collapsed to its frequency
+    * class `floor(log2 c)` = `length(bin(c)) - 1` — exact integer
+    * arithmetic, so per-doc sums are order-independent and the result is
+    * hash-comparable against the oracle with no float tolerance (the same
+    * trick as the integer-weight language-id profile above).
+    *
+    * Shape: one projection builds the bigram list (map-side, no shuffle),
+    * one shuffle keys by bigram for the count window, one shuffle
+    * re-aggregates per doc. The count-over-window avoids a second scan +
+    * join against a separate counts table; heavy-hitter bigrams land one
+    * partition per bigram — at 100 TB swap the window for groupBy counts +
+    * a broadcast of the (bounded) heavy-hitter subset, or let AQE skew
+    * handling split the partition. */
+  def bigramQuality(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+    val byBigram = Window.partitionBy("bigram")
+    bi
+      .withColumn("freq_class",
+        (length(bin(count(lit(1)).over(byBigram))) - 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("freq_class")).as("sum_freq_class"),
+        min(col("freq_class")).as("min_freq_class"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source lexical-similarity matrix — mixture governance: for
+    * every pair of sources, the Jaccard overlap of their distinct-token
+    * vocabularies. Sources that are lexical near-clones double-count in a
+    * training mixture; a source with a disjoint vocabulary is the one
+    * adding diversity ([[graft.ops.Curation]] budget design input).
+    *
+    * Scale shape: per-source vocabularies are one explode + distinct
+    * (shuffle keyed by token — bounded by vocabulary, not corpus size);
+    * the pair join is over that same token-keyed set, and the #sources²
+    * output is catalog-sized at any corpus scale. Only overlapping pairs
+    * appear. */
+  def vocabularyOverlap(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = vocab.as("a")
+      .join(vocab.as("b"), col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("shared"),
+        round(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -256,4 +256,56 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(byDoc(1L) == (3L, 3L)) // three variants, all distinct raw texts
     assert(byDoc(4L) == (1L, 1L))
   }
+
+  test("bigramQuality: hand-computed frequency classes on a tiny corpus") {
+    import spark.implicits._
+    // Corpus bigrams: "a b" x3 (docs 1,2,3), "b c" x2 (docs 1,3), "c d" x1
+    // (doc 3). freq classes: floor(log2 3)=1, floor(log2 2)=1,
+    // floor(log2 1)=0. Doc 4 has one token -> no bigrams -> absent.
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b"),
+      (3L, "a b c d"),
+      (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramQuality(d).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_freq_class"),
+        r.getAs[Int]("min_freq_class"))).toMap
+    assert(byDoc(1L) == (2L, 2L, 1)) // "a b"(1) + "b c"(1)
+    assert(byDoc(2L) == (1L, 1L, 1)) // "a b"(1)
+    assert(byDoc(3L) == (3L, 2L, 0)) // "a b"(1) + "b c"(1) + "c d"(0)
+  }
+
+  test("bigramQuality: identical documents get identical scores") {
+    val docs = Tables.documents(spark, sf).limit(60)
+    val twin = docs.withColumn("doc_id", col("doc_id") + lit(100000L))
+    val out = TextOps.bigramQuality(docs.unionByName(twin))
+      .withColumn("orig", when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+        .otherwise(col("doc_id")))
+    val groups = out.groupBy("orig")
+      .agg(countDistinct(col("n_bigrams"), col("sum_freq_class"), col("min_freq_class"))
+        .as("variants"))
+    assert(groups.filter(col("variants") =!= 1).count() == 0)
+  }
+
+  test("vocabularyOverlap: hand-computed Jaccard on a tiny corpus") {
+    import spark.implicits._
+    // s1 vocab {a,b,c}, s2 vocab {b,c,d}, s3 vocab {x}.
+    // s1 vs s2: shared {b,c}=2, union=4 -> 0.5; s3 overlaps nothing.
+    val d = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "b c", "s1"),
+      (3L, "b c d", "s2"),
+      (4L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.vocabularyOverlap(d).collect()
+    assert(out.length == 1) // only the overlapping pair appears
+    val r = out.head
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("shared") == 2L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
 }
