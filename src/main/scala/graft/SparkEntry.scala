@@ -413,7 +413,20 @@ object SparkEntry {
     "q83_bigram_quality" -> ((s, d) => TextOps.bigramQuality(Tables.documents(s, d))),
     // Cross-source lexical-similarity matrix (distinct-token Jaccard per
     // source pair) — mixture-governance input.
-    "q84_vocab_overlap" -> ((s, d) => TextOps.vocabularyOverlap(Tables.documents(s, d))))
+    "q84_vocab_overlap" -> ((s, d) => TextOps.vocabularyOverlap(Tables.documents(s, d))),
+    // OPTIMIZE ZORDER analog: rewrite lineitem clustered on the Morton
+    // curve of (l_partkey, l_suppkey), then run a 2-D selective box scan
+    // against the rewritten copy. Values must be untouched by the layout
+    // (the oracle runs on the ORIGINAL table); the file-pruning win is
+    // asserted separately by LayoutSpec.
+    "q85_zorder_scan" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${System.nanoTime()}"
+      graft.ops.Layout.zorderWrite(Tables.lineitem(s, d), "l_partkey", "l_suppkey", dir, 16)
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(100, 200) && col("l_suppkey").between(10, 20))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1171,5 +1184,12 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes sa ON source_a = sa.source
         |JOIN sizes sb ON source_b = sb.source
-        |ORDER BY source_a, source_b""".stripMargin)
+        |ORDER BY source_a, source_b""".stripMargin,
+    // Oracle reads the ORIGINAL table: the clustered rewrite must be
+    // value-identical, layout being the only difference.
+    "q85_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
