@@ -27,6 +27,7 @@ import graft.plans.NormalizedCosineToDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectFunction(graft.ops.BloomPrune.description)
     ext.injectOptimizerRule(_ => NormalizedCosineToDot)
   }
 }

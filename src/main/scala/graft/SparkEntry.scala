@@ -426,6 +426,23 @@ object SparkEntry {
         .filter(col("l_partkey").between(100, 200) && col("l_suppkey").between(10, 20))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // Bloom-pruned join: fact rows filtered by the dim's key bloom BEFORE
+    // the shuffle (the non-broadcastable-dim semi-join pushdown); the
+    // exact join kills false positives, so the result must hash-match the
+    // plain-join oracle.
+    "q86_bloom_join" -> ((s, d) => {
+      val dim = Tables.supplier(s, d).filter(col("s_acctbal") > lit(5000))
+      graft.ops.BloomPrune
+        .bloomPrunedJoin(Tables.lineitem(s, d), dim, "l_suppkey", "s_suppkey",
+          expectedItems = 100000)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n_lineitems"),
+          org.apache.spark.sql.functions.sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .orderBy("s_suppkey")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1191,5 +1208,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 20
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Plain join — the bloom prune must be invisible in the result.
+    "q86_bloom_join" ->
+      s"""SELECT s_suppkey, s_name, COUNT(*) AS n_lineitems,
+         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE s_acctbal > 5000
+         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)
 }
