@@ -1,7 +1,8 @@
 package graft.ml
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructField
 import org.json4s.{DefaultFormats, Extraction, Formats, JArray, JNothing, JObject, JValue}
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
@@ -37,6 +38,45 @@ final case class ScoringModel(
     model.transform(enriched)
   }
 
+  /** Single-key scoring — the batch engine's analog of the reference's
+    * online inference (model served against the low-latency store,
+    * reference README.md:110-116). Features come from the store's
+    * broadcast point index ([[graft.fs.FeatureResolver.lookupOne]]) — an
+    * in-memory hash probe after warm-up, no per-call table scan — and the
+    * model transforms a single local row. Missing keys contribute nulls,
+    * exactly scoreBatch's left-join semantics.
+    *
+    * Deviation, by design: the reference's <10 ms figure is a managed KV
+    * service + model server; here the per-call cost is one local-row Spark
+    * plan (milliseconds-scale, not micro) — the in-scope batch analog,
+    * not a serving replacement. Point-in-time lookups need the full as-of
+    * machinery — use [[scoreBatch]] for those. */
+  def scoreOne(store: FeatureResolver, input: Map[String, Any]): Option[Row] = {
+    require(lookups.forall(_.timestampLookupKey.isEmpty),
+      "scoreOne supports untimed lookups only — point-in-time enrichment needs scoreBatch")
+    val spark = SparkSession.active
+    val inputSeq = input.toSeq
+    val inputFields = inputSeq.map { case (k, v) =>
+      StructField(k, ScoringModel.typeOf(v), nullable = true) }
+    val featParts = lookups.map { lk =>
+      val keyValue = input.getOrElse(lk.lookupKey,
+        sys.error(s"scoreOne: input is missing lookup key '${lk.lookupKey}'"))
+      val tableSchema = store.getTable(lk.tableName).schema
+      val rowOpt = store.lookupOne(lk.tableName, keyValue)
+      val fields = lk.featureNames.map { f =>
+        StructField(lk.renames.getOrElse(f, f), tableSchema(f).dataType, nullable = true) }
+      val values = lk.featureNames.map { f =>
+        rowOpt.map(r => r.get(r.fieldIndex(f))).orNull }
+      (fields, values)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      inputFields ++ featParts.flatMap(_._1))
+    val row = Row.fromSeq(inputSeq.map(_._2) ++ featParts.flatMap(_._2))
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+    model.transform(df).collect().headOption
+  }
+
   /** Lossless lookup persistence (hint and renames included) with a real
     * JSON writer — names containing quotes/commas survive the round-trip.
     * Train-time metrics and params ride in `metrics.json` when present. */
@@ -68,6 +108,25 @@ final case class ScoringModel(
 object ScoringModel {
 
   private[ml] implicit val jsonFormats: Formats = DefaultFormats
+
+  /** Runtime Scala value -> Spark type, for assembling scoreOne's
+    * single-row frame from a plain Map (the key/passthrough columns; the
+    * feature columns take their types from the table schema). */
+  private[ml] def typeOf(v: Any): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    v match {
+      case _: java.lang.Integer => IntegerType
+      case _: java.lang.Long => LongType
+      case _: java.lang.Short => ShortType
+      case _: java.lang.Double => DoubleType
+      case _: java.lang.Float => FloatType
+      case _: java.lang.Boolean => BooleanType
+      case _: java.math.BigDecimal => DecimalType(38, 18)
+      case _: java.sql.Timestamp => TimestampType
+      case _: java.sql.Date => DateType
+      case _ => StringType // strings and nulls
+    }
+  }
 
   private[ml] def hintName(h: LookupHint): String = h match {
     case LookupHint.Broadcast => "broadcast"

@@ -111,6 +111,30 @@ class TrainerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(ScoringModel.load(spark, s"$base/saved_model_fancy").lookups == fancy)
   }
 
+  test("scoreOne matches scoreBatch for the same key (online-analog parity)") {
+    val scoring = ScoringModel(model, lookups)
+    val inference = CsvIngest.readInferred(spark, refData("inference_data.csv"))
+    val sample = inference.limit(3).collect()
+    val batch = scoring.scoreBatch(store, inference)
+      .select("customer_id", "product_id", "prediction").collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getDouble(2)).toMap
+    sample.foreach { r =>
+      val input = r.schema.fieldNames.map(n => n -> r.get(r.fieldIndex(n))).toMap
+      val one = scoring.scoreOne(store, input)
+        .getOrElse(fail(s"scoreOne returned nothing for $input"))
+      assert(one.getDouble(one.fieldIndex("prediction")) ==
+        batch((input("customer_id"), input("product_id"))))
+    }
+  }
+
+  test("scoreOne refuses point-in-time lookups with a clear error") {
+    val timed = lookups.map(_.copy(timestampLookupKey = Some("ts")))
+    val err = intercept[IllegalArgumentException] {
+      ScoringModel(model, timed).scoreOne(store, Map("customer_id" -> 1))
+    }
+    assert(err.getMessage.contains("scoreBatch"))
+  }
+
   test("train-time metrics and params persist with the model (reference M5)") {
     val m = Metrics.evaluate(model.transform(trainingDf), "purchased")
     val p = Trainer.TrainParams(maxIter = 20)
