@@ -443,6 +443,18 @@ object SparkEntry {
             .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("sum_qty"))
         .orderBy("s_suppkey")
+    }),
+    // Store time travel: mutate a feature table, then read the retained
+    // pre-mutation snapshot — it must equal the ORIGINAL source (which is
+    // exactly what the oracle reads).
+    "q87_time_travel" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tt_store_${System.nanoTime()}"
+      val store = new FeatureStore(s, dir)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      store.createTable("cust_tt", Seq("c_custkey"), cust)
+      store.upsert("cust_tt", cust.filter(col("c_custkey") <= lit(100L))
+        .withColumn("c_acctbal", lit(0.0)))
+      store.readTableVersion("cust_tt", 1L).orderBy("c_custkey")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1215,5 +1227,9 @@ object SparkEntry {
          |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |WHERE s_acctbal > 5000
-         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)
+         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    // The pre-mutation snapshot IS the original source table.
+    "q87_time_travel" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin)
 }

@@ -28,8 +28,19 @@ final class PrimaryKeyViolation(msg: String) extends RuntimeException(msg)
   *
   * Partition columns: pass `partitionBy` for tables that will be pruned by
   * a hot predicate column at scale (e.g. ingest date).
+  *
+  * Versioning (Delta time-travel analog): every in-place mutation
+  * ([[upsert]], [[compact]], [[rollback]]) snapshots the table's previous
+  * state under `basePath/_graft_versions/<name>/v<N>` before the swap —
+  * outside the table directory, so live scans never see it. Retention is
+  * bounded (`maxVersionsRetained`, oldest pruned first): version cost is
+  * K copies of the table, a deliberate budget, not unbounded history. On
+  * Delta the same surface is `VERSION AS OF` backed by the log —
+  * file-level deltas instead of full snapshots; the API here is the same
+  * shape so the swap is local.
   */
-final class FeatureStore(spark: SparkSession, val basePath: String) extends FeatureResolver {
+final class FeatureStore(spark: SparkSession, val basePath: String,
+    val maxVersionsRetained: Int = 5) extends FeatureResolver {
 
   override protected def resolverSession: SparkSession = spark
 
@@ -37,6 +48,9 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
 
   private def tablePath(name: String) = s"$basePath/${name.replace('.', '/')}"
   private def metaPath(name: String)  = s"${tablePath(name)}/_graft_meta.json"
+  private def versionsRoot(name: String) =
+    s"$basePath/_graft_versions/${name.replace('.', '/')}"
+  private def versionPath(name: String, v: Long) = s"${versionsRoot(name)}/v$v"
 
   /** Materialize `df` as feature table `name` keyed by `primaryKeys`.
     *
@@ -120,16 +134,60 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
     val tmp = new org.apache.hadoop.fs.Path(ft.path + "__graft_rewrite_tmp")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val writer = data.write.mode("overwrite")
+    // The write happens BEFORE the old directory moves: `data` may read the
+    // current table (upsert/compact do) — and before pruning, so a rollback
+    // source can never be deleted under its own read.
     (if (ft.partitionColumns.nonEmpty) writer.partitionBy(ft.partitionColumns: _*)
      else writer).parquet(tmp.toString)
-    fs.delete(path, true)
+    // Snapshot instead of delete: the replaced state becomes version N+1's
+    // predecessor (meta sidecar travels with it — schema history included).
+    val nextV = versions(ft.name).lastOption.getOrElse(0L) + 1
+    val vPath = new org.apache.hadoop.fs.Path(versionPath(ft.name, nextV))
+    fs.mkdirs(vPath.getParent)
+    if (!fs.rename(path, vPath))
+      throw new java.io.IOException(s"rewrite(${ft.name}): snapshot $path -> $vPath failed")
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"rewrite(${ft.name}): rename $tmp -> $path failed")
+    // Bounded retention: oldest beyond the budget go away.
+    val vs = versions(ft.name)
+    vs.dropRight(maxVersionsRetained).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionPath(ft.name, v)), true)
+    }
     val out = ft.copy(schema = spark.read.parquet(ft.path).schema)
     writeMeta(out)
     registry.put(ft.name, out)
     invalidatePointIndex(ft.name)
     out
+  }
+
+  /** Retained snapshot version ids for `name`, oldest first. Versions are
+    * created by in-place mutations; a freshly created table has none. */
+  def versions(name: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(versionsRoot(name))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .sorted
+  }
+
+  /** Read a retained snapshot — the table as it was BEFORE the mutation
+    * that created version `v` completed (Delta `VERSION AS OF` analog). */
+  def readTableVersion(name: String, version: Long): DataFrame = {
+    require(versions(name).contains(version),
+      s"readTableVersion($name): version $version not retained " +
+        s"(have: ${versions(name).mkString(", ")})")
+    spark.read.parquet(versionPath(name, version))
+  }
+
+  /** Restore snapshot `version` as the current table state. The state being
+    * replaced is itself snapshotted first (a rollback is undoable like any
+    * other mutation). PK metadata and partition layout are preserved. */
+  def rollback(name: String, version: Long): FeatureTable = {
+    val ft = getTable(name)
+    rewriteInPlace(ft, readTableVersion(name, version))
   }
 
   /** Read a registered table (reference: 02_model_training.py:145). */
@@ -143,13 +201,16 @@ final class FeatureStore(spark: SparkSession, val basePath: String) extends Feat
   def tableExists(name: String): Boolean =
     registry.contains(name) || loadMeta(name).isDefined
 
-  /** Idempotent drop (reference: 01_feature_table_creation.py:153-160). */
+  /** Idempotent drop (reference: 01_feature_table_creation.py:153-160).
+    * Retained version snapshots go with the table. */
   def dropTable(name: String): Unit = {
     registry.remove(name)
     invalidatePointIndex(name)
     val p = new org.apache.hadoop.fs.Path(tablePath(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+    val vr = new org.apache.hadoop.fs.Path(versionsRoot(name))
+    if (fs.exists(vr)) { fs.delete(vr, true); () }
   }
 
   def listTables(): Seq[FeatureTable] = registry.values.toSeq.sortBy(_.name)

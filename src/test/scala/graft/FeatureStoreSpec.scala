@@ -189,4 +189,49 @@ class FeatureStoreSpec extends SparkSpec {
     assert(df.filter(col("purchased") === 1).count() == 293)
     assert(df.filter(col("purchased") === 0).count() == 207)
   }
+
+  test("upserts create version snapshots; time travel reads them back") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_tt").toString)
+    s.createTable("tt", Seq("id"), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(s.versions("tt").isEmpty) // creation is not a mutation
+    s.upsert("tt", Seq((2L, "B")).toDF("id", "v"))
+    s.upsert("tt", Seq((3L, "c")).toDF("id", "v"))
+    assert(s.versions("tt") == Seq(1L, 2L))
+    // v1 = state before the first upsert; v2 = before the second.
+    assert(s.readTableVersion("tt", 1L).orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    assert(s.readTableVersion("tt", 2L).orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "B"))
+    assert(s.readTable("tt").count() == 3)
+    intercept[IllegalArgumentException] { s.readTableVersion("tt", 99L) }
+  }
+
+  test("rollback restores a snapshot and is itself undoable") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_rb").toString)
+    s.createTable("rb", Seq("id"), Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    s.upsert("rb", Seq((1L, 99.0)).toDF("id", "v"))
+    s.rollback("rb", 1L) // back to the original
+    assert(s.readTable("rb").orderBy("id").collect().map(_.getDouble(1)).toSeq
+      == Seq(10.0, 20.0))
+    // The rollback snapshotted the upserted state as v2 — undo the undo.
+    assert(s.versions("rb") == Seq(1L, 2L))
+    s.rollback("rb", 2L)
+    assert(s.readTable("rb").orderBy("id").collect().map(_.getDouble(1)).toSeq
+      == Seq(99.0, 20.0))
+    // Point lookups track the live state through rollbacks.
+    assert(s.lookupOne("rb", 1L).get.getDouble(1) == 99.0)
+  }
+
+  test("version retention is bounded; dropTable removes snapshots") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_ret").toString,
+      maxVersionsRetained = 2)
+    s.createTable("ret", Seq("id"), Seq((1L, 0)).toDF("id", "v"))
+    (1 to 4).foreach(i => s.upsert("ret", Seq((1L, i)).toDF("id", "v")))
+    assert(s.versions("ret") == Seq(3L, 4L)) // oldest pruned, ids keep advancing
+    s.dropTable("ret")
+    assert(s.versions("ret").isEmpty)
+  }
 }
