@@ -455,6 +455,26 @@ object SparkEntry {
       store.upsert("cust_tt", cust.filter(col("c_custkey") <= lit(100L))
         .withColumn("c_acctbal", lit(0.0)))
       store.readTableVersion("cust_tt", 1L).orderBy("c_custkey")
+    }),
+    // Change feed (Delta CDF analog): PK-keyed diff of current state vs a
+    // retained snapshot — insert / delete / update pre+post images,
+    // unchanged rows absent. The oracle reconstructs the exact feed from
+    // the source table and the known mutation.
+    "q88_change_feed" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_store_${System.nanoTime()}"
+      val store = new FeatureStore(s, dir)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      store.createTable("cust_cdc", Seq("c_custkey"), cust)
+      val newRow = s.createDataFrame(
+        java.util.Collections.singletonList(Row(999999L, "new customer", 1.5)),
+        StructType(Seq(StructField("c_custkey", LongType),
+          StructField("c_name", StringType), StructField("c_acctbal", DoubleType))))
+      store.upsert("cust_cdc",
+        cust.filter(col("c_custkey") <= lit(100L)).withColumn("c_acctbal", lit(0.0))
+          .unionByName(newRow))
+      store.tableChanges("cust_cdc", 1L)
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1231,5 +1251,23 @@ object SparkEntry {
     // The pre-mutation snapshot IS the original source table.
     "q87_time_travel" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    // Reconstruct the change feed from the source + the known mutation:
+    // keys <= 100 with a nonzero balance were updated to 0.0 (a balance
+    // already 0.0 is row-identical after the upsert -> unchanged ->
+    // absent), plus one synthetic insert.
+    "q88_change_feed" ->
+      """WITH changed AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey <= 100 AND c_acctbal <> 0.0)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    'update_preimage' AS _change_type FROM changed
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 0.0 AS c_acctbal,
+        |    'update_postimage' AS _change_type FROM changed
+        |  UNION ALL
+        |  SELECT CAST(999999 AS BIGINT) AS c_custkey, 'new customer' AS c_name,
+        |    1.5 AS c_acctbal, 'insert' AS _change_type)
+        |ORDER BY c_custkey, _change_type""".stripMargin)
 }

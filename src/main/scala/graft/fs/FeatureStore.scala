@@ -1,7 +1,7 @@
 package graft.fs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import org.json4s.{DefaultFormats, Formats, JValue}
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
@@ -188,6 +188,55 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
   def rollback(name: String, version: Long): FeatureTable = {
     val ft = getTable(name)
     rewriteInPlace(ft, readTableVersion(name, version))
+  }
+
+  /** Change feed between a retained snapshot and the current state (Delta
+    * CDF analog, computed as a PK-keyed diff instead of logged deltas):
+    * one row per changed key with `_change_type` ∈ insert / delete /
+    * update_preimage+update_postimage — the same row vocabulary Delta's
+    * `table_changes` emits, so downstream consumers port unchanged.
+    *
+    * Scale shape: one full-outer equi-join on the PK between two scans;
+    * unchanged rows (the overwhelming majority of a feature refresh) are
+    * filtered before the result materializes. An update emits both images,
+    * keyed for deterministic ordering. */
+  def tableChanges(name: String, sinceVersion: Long): DataFrame = {
+    val ft = getTable(name)
+    require(ft.primaryKeys.nonEmpty, s"tableChanges($name): table has no primary keys")
+    val pk = ft.primaryKeys
+    val before = readTableVersion(name, sinceVersion)
+    val after = readTable(name)
+    val cols = after.columns.toSeq
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"tableChanges($name): schema changed between v$sinceVersion and now — " +
+        "diff the versions manually")
+    val nonPk = cols.filterNot(pk.contains)
+    def strip(df: DataFrame, tag: String) = df.select(
+      pk.map(col) ++ nonPk.map(c => col(c).as(s"${tag}_$c")): _*)
+    // Presence flags: a full-outer miss leaves every side column null, but
+    // rows can legitimately hold nulls — presence needs explicit markers.
+    val beforeMark = strip(before, "b").withColumn("__b", lit(1))
+    val afterMark = strip(after, "a").withColumn("__a", lit(1))
+    val j = beforeMark.join(afterMark, pk, "full_outer")
+    val changed = nonPk.map(c => !(col(s"b_$c") <=> col(s"a_$c"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val tagged = j.withColumn("_change_type",
+      when(col("__b").isNull, lit("insert"))
+        .when(col("__a").isNull, lit("delete"))
+        .when(changed, lit("update"))
+        .otherwise(lit("unchanged")))
+      .filter(col("_change_type") =!= "unchanged")
+    // Explode updates into pre/post images; inserts/deletes carry their
+    // single image. Output schema: pk..., non-pk..., _change_type.
+    val pre = tagged.filter(col("_change_type").isin("delete", "update"))
+      .select(pk.map(col) ++ nonPk.map(c => col(s"b_$c").as(c)) :+
+        when(col("_change_type") === "update", lit("update_preimage"))
+          .otherwise(lit("delete")).as("_change_type"): _*)
+    val post = tagged.filter(col("_change_type").isin("insert", "update"))
+      .select(pk.map(col) ++ nonPk.map(c => col(s"a_$c").as(c)) :+
+        when(col("_change_type") === "update", lit("update_postimage"))
+          .otherwise(lit("insert")).as("_change_type"): _*)
+    pre.unionByName(post).orderBy(pk.map(col) :+ col("_change_type"): _*)
   }
 
   /** Read a registered table (reference: 02_model_training.py:145). */

@@ -224,6 +224,42 @@ class FeatureStoreSpec extends SparkSpec {
     assert(s.lookupOne("rb", 1L).get.getDouble(1) == 99.0)
   }
 
+  test("tableChanges emits CDF-style rows: insert, delete, update pre/postimage") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_cdc").toString)
+    s.createTable("cdc", Seq("id"), Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    s.upsert("cdc", Seq((2L, "B"), (4L, "d")).toDF("id", "v")) // snapshot v1 = original
+    val fwd = s.tableChanges("cdc", 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // 1 and 3 are unchanged -> absent; 2 updated (both images); 4 inserted.
+    assert(fwd.toSeq == Seq(
+      (2L, "B", "update_postimage"), // 'post' < 'pre' lexically
+      (2L, "b", "update_preimage"),
+      (4L, "d", "insert")))
+    // Roll back to the original: the diff against the upserted snapshot
+    // (v2) now shows the reverse — 2 un-updated, 4 deleted.
+    s.rollback("cdc", 1L)
+    val back = s.tableChanges("cdc", 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == Seq(
+      (2L, "b", "update_postimage"),
+      (2L, "B", "update_preimage"),
+      (4L, "d", "delete")))
+  }
+
+  test("tableChanges null-safe comparison: null -> null is unchanged, null -> value is an update") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_cdcn").toString)
+    s.createTable("cdcn", Seq("id"),
+      Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("id", "v"))
+    s.upsert("cdcn", Seq((1L, None: Option[String]), (2L, Some("x"))).toDF("id", "v"))
+    val out = s.tableChanges("cdcn", 1L).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (2L, Some("x"), "update_postimage"),
+      (2L, None, "update_preimage")))
+  }
+
   test("version retention is bounded; dropTable removes snapshots") {
     import spark.implicits._
     val s = new FeatureStore(spark, Files.createTempDirectory("graft_ret").toString,
