@@ -51,6 +51,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
   private def versionsRoot(name: String) =
     s"$basePath/_graft_versions/${name.replace('.', '/')}"
   private def versionPath(name: String, v: Long) = s"${versionsRoot(name)}/v$v"
+  private def historyPath(name: String) = s"${versionsRoot(name)}/_history.jsonl"
 
   /** Materialize `df` as feature table `name` keyed by `primaryKeys`.
     *
@@ -78,6 +79,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     writeMeta(ft)
     registry.put(name, ft)
     invalidatePointIndex(name) // a rewrite must not leave a stale broadcast
+    appendHistory(name, "create", None)
     ft
   }
 
@@ -103,7 +105,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     val merged = existing
       .join(updates.select(ft.primaryKeys.map(col): _*), ft.primaryKeys, "left_anti")
       .unionByName(updates)
-    rewriteInPlace(ft, merged)
+    rewriteInPlace(ft, merged, "upsert")
   }
 
   /** Small-file compaction: rewrite the table into `targetFileCount` files
@@ -122,14 +124,14 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
         // whole partitions, so every partition directory gets few files.
         data.repartition(ft.partitionColumns.map(col): _*)
       else data.coalesce(targetFileCount)
-    rewriteInPlace(ft, compacted)
+    rewriteInPlace(ft, compacted, "compact")
   }
 
   /** Rewrite a table's data in place via write-to-temp + directory swap
     * (a lazy self-overwrite would corrupt the table: the plan would read
     * the files the write is deleting). Preserves PK metadata, description,
     * and partition layout. */
-  private def rewriteInPlace(ft: FeatureTable, data: DataFrame): FeatureTable = {
+  private def rewriteInPlace(ft: FeatureTable, data: DataFrame, op: String): FeatureTable = {
     val path = new org.apache.hadoop.fs.Path(ft.path)
     val tmp = new org.apache.hadoop.fs.Path(ft.path + "__graft_rewrite_tmp")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -157,6 +159,7 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     writeMeta(out)
     registry.put(ft.name, out)
     invalidatePointIndex(ft.name)
+    appendHistory(ft.name, op, Some(nextV))
     out
   }
 
@@ -187,7 +190,55 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     * other mutation). PK metadata and partition layout are preserved. */
   def rollback(name: String, version: Long): FeatureTable = {
     val ft = getTable(name)
-    rewriteInPlace(ft, readTableVersion(name, version))
+    rewriteInPlace(ft, readTableVersion(name, version), "rollback")
+  }
+
+  /** Mutation audit log (DESCRIBE HISTORY analog): one entry per lifecycle
+    * operation, oldest first. Survives the session (JSON-lines sidecar next
+    * to the version snapshots); snapshot pruning does NOT prune history —
+    * the log stays a complete record even when old data is gone. */
+  def history(name: String): Seq[FeatureStore.HistoryEntry] = {
+    val p = new org.apache.hadoop.fs.Path(historyPath(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      raw.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        FeatureStore.HistoryEntry(
+          (j \ "op").extract[String],
+          (j \ "snapshotVersion").extractOpt[Long],
+          (j \ "atMillis").extract[Long])
+      }
+    }
+  }
+
+  private def appendHistory(name: String, op: String, snapshotVersion: Option[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(historyPath(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val entry: JValue =
+      ("op" -> op) ~
+        ("snapshotVersion" -> snapshotVersion) ~
+        ("atMillis" -> System.currentTimeMillis())
+    val line = JsonMethods.compact(JsonMethods.render(entry)) + "\n"
+    // Local/HDFS-style appends when supported; fall back to read+rewrite
+    // (object stores): history files are small by construction.
+    val out =
+      try fs.append(p)
+      catch { case _: Throwable =>
+        val prev =
+          if (fs.exists(p)) {
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          } else ""
+        val o = fs.create(p, true)
+        o.write(prev.getBytes("UTF-8"))
+        o
+      }
+    out.write(line.getBytes("UTF-8"))
+    out.close()
   }
 
   /** Change feed between a retained snapshot and the current state (Delta
@@ -308,6 +359,10 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
 }
 
 object FeatureStore {
+
+  /** One audit-log row: which lifecycle op ran, which snapshot version it
+    * created (None for create), and when. */
+  final case class HistoryEntry(op: String, snapshotVersion: Option[Long], atMillis: Long)
 
   /** Shared PK contract check (used by the path-backed and catalog-backed
     * stores). Validates column presence (reference:

@@ -260,6 +260,26 @@ class FeatureStoreSpec extends SparkSpec {
       (2L, None, "update_preimage")))
   }
 
+  test("history logs every lifecycle op and outlives snapshot pruning") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_hist").toString,
+      maxVersionsRetained = 1)
+    val t0 = System.currentTimeMillis()
+    s.createTable("h", Seq("id"), Seq((1L, "a")).toDF("id", "v"))
+    s.upsert("h", Seq((1L, "b")).toDF("id", "v"))
+    s.compact("h")
+    s.rollback("h", 2L) // only v2 retained (budget = 1)
+    val hist = s.history("h")
+    assert(hist.map(_.op) == Seq("create", "upsert", "compact", "rollback"))
+    assert(hist.map(_.snapshotVersion) == Seq(None, Some(1L), Some(2L), Some(3L)))
+    assert(hist.forall(_.atMillis >= t0))
+    // Snapshots v1/v2 are pruned, but the log still records them.
+    assert(s.versions("h") == Seq(3L))
+    // A fresh store over the same path reads the same log (it's on disk).
+    val fresh = new FeatureStore(spark, s.basePath)
+    assert(fresh.history("h").map(_.op) == hist.map(_.op))
+  }
+
   test("version retention is bounded; dropTable removes snapshots") {
     import spark.implicits._
     val s = new FeatureStore(spark, Files.createTempDirectory("graft_ret").toString,
