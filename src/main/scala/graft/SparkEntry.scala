@@ -475,6 +475,29 @@ object SparkEntry {
         cust.filter(col("c_custkey") <= lit(100L)).withColumn("c_acctbal", lit(0.0))
           .unionByName(newRow))
       store.tableChanges("cust_cdc", 1L)
+    }),
+    // CDC replication end-to-end: mutate a source table, stream its change
+    // feed onto a replica created from the pre-mutation state — the
+    // replica must equal the mutated source (oracle reconstructs it from
+    // the original table + the known mutation).
+    "q89_cdc_replica" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdcrt_store_${System.nanoTime()}"
+      val store = new FeatureStore(s, dir)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      store.createTable("src", Seq("c_custkey"), cust)
+      store.createTable("replica", Seq("c_custkey"), cust)
+      val newRow = s.createDataFrame(
+        java.util.Collections.singletonList(Row(999999L, "new customer", 1.5)),
+        StructType(Seq(StructField("c_custkey", LongType),
+          StructField("c_name", StringType), StructField("c_acctbal", DoubleType))))
+      store.upsert("src",
+        cust.filter(col("c_custkey") <= lit(100L)).withColumn("c_acctbal", lit(0.0))
+          .unionByName(newRow))
+      store.delete("src", col("c_custkey").between(200L, 210L))
+      store.applyChanges("replica", store.tableChanges("src", 1L))
+      store.readTable("replica").orderBy("c_custkey")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1269,5 +1292,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(999999 AS BIGINT) AS c_custkey, 'new customer' AS c_name,
         |    1.5 AS c_acctbal, 'insert' AS _change_type)
-        |ORDER BY c_custkey, _change_type""".stripMargin)
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+    // The replica after CDC apply == the mutated source, reconstructed.
+    "q89_cdc_replica" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey <= 100 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey NOT BETWEEN 200 AND 210
+        |  UNION ALL
+        |  SELECT CAST(999999 AS BIGINT), 'new customer', 1.5)
+        |ORDER BY c_custkey""".stripMargin)
 }

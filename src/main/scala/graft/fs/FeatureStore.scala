@@ -108,6 +108,43 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     rewriteInPlace(ft, merged, "upsert")
   }
 
+  /** Predicate delete (Delta `DELETE WHERE` analog): rewrite the table
+    * without the matching rows. Snapshot + history like every mutation; on
+    * Delta the rewrite cost drops to the touched files. */
+  def delete(name: String, predicate: org.apache.spark.sql.Column): FeatureTable = {
+    val ft = getTable(name)
+    rewriteInPlace(ft, readTable(name).filter(!predicate), "delete")
+  }
+
+  /** Apply a change feed produced by [[tableChanges]] (or any CDF-shaped
+    * frame: table columns + `_change_type`) onto this table — the CDC
+    * replication consumer. Deletes drop their keys, inserts and update
+    * postimages upsert; preimages are ignored (they describe the source's
+    * past, not the target's future). Applying `source.tableChanges(v)` to
+    * a replica at state v yields exactly the source's current state
+    * (FeatureStoreSpec proves the round-trip). */
+  def applyChanges(name: String, changes: DataFrame): FeatureTable = {
+    val ft = getTable(name)
+    require(changes.columns.contains("_change_type"),
+      s"applyChanges($name): frame has no _change_type column")
+    val pk = ft.primaryKeys
+    // Pin the feed first: `changes` is typically a lazy diff plan, and
+    // without this the second mutation below would RE-EVALUATE it against
+    // already-mutated state.
+    val pinned = changes.localCheckpoint(true)
+    val deletes = pinned.filter(col("_change_type") === "delete")
+      .select(pk.map(col): _*)
+    val upserts = pinned.filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    // Two mutations (each snapshotted), deletes first so a key deleted
+    // and re-inserted in one feed lands inserted. The key drop is an
+    // anti-join: no driver materialization, no key-encoding collisions.
+    if (!deletes.isEmpty) {
+      rewriteInPlace(getTable(name), readTable(name).join(deletes, pk, "left_anti"), "delete")
+    }
+    if (upserts.isEmpty) getTable(name) else upsert(name, upserts)
+  }
+
   /** Small-file compaction: rewrite the table into `targetFileCount` files
     * per partition directory (1 by default). Long-lived tables accumulate
     * files with every refresh; scan cost at 100 TB is dominated by file

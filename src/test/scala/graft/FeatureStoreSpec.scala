@@ -260,6 +260,36 @@ class FeatureStoreSpec extends SparkSpec {
       (2L, None, "update_preimage")))
   }
 
+  test("delete removes matching rows, snapshots, and logs") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_del").toString)
+    s.createTable("d", Seq("id"), Seq((1L, 5), (2L, 50), (3L, 500)).toDF("id", "v"))
+    s.delete("d", col("v") >= 50)
+    assert(s.readTable("d").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(s.readTableVersion("d", 1L).count() == 3) // pre-delete snapshot
+    assert(s.history("d").map(_.op) == Seq("create", "delete"))
+  }
+
+  test("applyChanges replicates a source's feed onto a replica exactly (CDC round-trip)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdc_rt").toString
+    val s = new FeatureStore(spark, dir)
+    val t0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    s.createTable("src", Seq("id"), t0)
+    s.createTable("replica", Seq("id"), t0)
+    // Mutate the source: update 2, delete 3, insert 4 — two mutations, so
+    // the feed spans versions (diff against the OLDEST retained = v1).
+    s.upsert("src", Seq((2L, "B"), (4L, "d")).toDF("id", "v"))
+    s.delete("src", col("id") === 3L)
+    val feed = s.tableChanges("src", 1L)
+    s.applyChanges("replica", feed)
+    val src = s.readTable("src").orderBy("id").collect().toSeq
+    val rep = s.readTable("replica").orderBy("id").collect().toSeq
+    assert(rep == src, s"replica $rep != source $src")
+    assert(rep.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
   test("history logs every lifecycle op and outlives snapshot pruning") {
     import spark.implicits._
     val s = new FeatureStore(spark, Files.createTempDirectory("graft_hist").toString,
