@@ -423,7 +423,7 @@ object SparkEntry {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${System.nanoTime()}"
       graft.ops.Layout.zorderWrite(Tables.lineitem(s, d), "l_partkey", "l_suppkey", dir, 16)
       s.read.parquet(dir)
-        .filter(col("l_partkey").between(100, 200) && col("l_suppkey").between(10, 20))
+        .filter(col("l_partkey").between(1, 100) && col("l_suppkey").between(1, 5))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -1262,7 +1262,7 @@ object SparkEntry {
     "q85_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 20
+        |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Plain join — the bloom prune must be invisible in the result.
     "q86_bloom_join" ->

@@ -94,17 +94,48 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     * rewrite cost drops to the touched files.
     *
     * Scale shape: one shuffle (the anti-join on the PK); the updates side
-    * of a feature refresh is typically small → broadcast by Catalyst. */
-  def upsert(name: String, updates: DataFrame): FeatureTable = {
+    * of a feature refresh is typically small → broadcast by Catalyst.
+    *
+    * `mergeSchema = true` (Delta mergeSchema analog) evolves the table:
+    * columns new in `updates` are added (pre-existing rows read null),
+    * columns absent from `updates` are padded with typed nulls. Type
+    * changes are rejected, never coerced. */
+  def upsert(name: String, updates: DataFrame,
+      mergeSchema: Boolean = false): FeatureTable = {
     val ft = getTable(name)
     FeatureStore.validatePrimaryKeys(name, ft.primaryKeys, updates, enforce = true)
     val existing = readTable(name)
-    require(existing.columns.sorted.sameElements(updates.columns.sorted),
-      s"upsert($name): column mismatch — table has ${existing.columns.sorted.mkString(",")}, " +
-        s"updates have ${updates.columns.sorted.mkString(",")}")
-    val merged = existing
-      .join(updates.select(ft.primaryKeys.map(col): _*), ft.primaryKeys, "left_anti")
-      .unionByName(updates)
+    val (alignedExisting, alignedUpdates) =
+      if (existing.columns.sorted.sameElements(updates.columns.sorted))
+        (existing, updates)
+      else if (!mergeSchema)
+        throw new IllegalArgumentException(
+          s"upsert($name): column mismatch — table has ${existing.columns.sorted.mkString(",")}, " +
+            s"updates have ${updates.columns.sorted.mkString(",")} " +
+            "(pass mergeSchema = true to evolve)")
+      else {
+        // Schema evolution (Delta mergeSchema analog): the union of both
+        // column sets, each side padded with typed nulls for what it lacks.
+        // Same-name columns must agree on type — silent coercion would
+        // corrupt, so it's rejected.
+        val exTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+        val upTypes = updates.schema.map(f => f.name -> f.dataType).toMap
+        val conflicts = exTypes.keySet.intersect(upTypes.keySet)
+          .filter(c => exTypes(c) != upTypes(c))
+        require(conflicts.isEmpty,
+          s"upsert($name): type conflict on ${conflicts.mkString(", ")} — " +
+            "evolution adds columns, it does not retype them")
+        require(ft.primaryKeys.forall(upTypes.contains), // PKs can never be padded
+          s"upsert($name): updates missing primary key columns")
+        val allCols = existing.columns ++ updates.columns.filterNot(exTypes.contains)
+        def pad(df: DataFrame, types: Map[String, org.apache.spark.sql.types.DataType]) =
+          df.select(allCols.map(c =>
+            if (types.contains(c)) col(c) else lit(null).cast(exTypes.getOrElse(c, upTypes(c))).as(c)): _*)
+        (pad(existing, exTypes), pad(updates, upTypes))
+      }
+    val merged = alignedExisting
+      .join(alignedUpdates.select(ft.primaryKeys.map(col): _*), ft.primaryKeys, "left_anti")
+      .unionByName(alignedUpdates)
     rewriteInPlace(ft, merged, "upsert")
   }
 

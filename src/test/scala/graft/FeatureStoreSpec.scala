@@ -260,6 +260,26 @@ class FeatureStoreSpec extends SparkSpec {
       (2L, None, "update_preimage")))
   }
 
+  test("upsert mergeSchema evolves the table: new columns added, old rows read null") {
+    import spark.implicits._
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_evo").toString)
+    s.createTable("evo", Seq("id"), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // New column arrives with the refresh.
+    s.upsert("evo", Seq((2L, "B", 0.9), (3L, "c", 0.5)).toDF("id", "v", "score"),
+      mergeSchema = true)
+    val got = s.readTable("evo").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(r.fieldIndex("score"))))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "B", Some(0.9)), (3L, "c", Some(0.5))))
+    // Updates narrower than the evolved table pad with nulls.
+    s.upsert("evo", Seq((4L, "d")).toDF("id", "v"), mergeSchema = true)
+    assert(s.readTable("evo").filter(col("id") === 4L).head().isNullAt(2))
+    // Retyping a column is refused, never coerced.
+    val err = intercept[IllegalArgumentException] {
+      s.upsert("evo", Seq((5L, 42)).toDF("id", "v"), mergeSchema = true)
+    }
+    assert(err.getMessage.contains("type conflict"))
+  }
+
   test("delete removes matching rows, snapshots, and logs") {
     import spark.implicits._
     val s = new FeatureStore(spark, Files.createTempDirectory("graft_del").toString)
