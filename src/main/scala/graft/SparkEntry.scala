@@ -498,6 +498,18 @@ object SparkEntry {
       store.delete("src", col("c_custkey").between(200L, 210L))
       store.applyChanges("replica", store.tableChanges("src", 1L))
       store.readTable("replica").orderBy("c_custkey")
+    }),
+    // File-level data skipping: z-order layout + per-file min/max manifest,
+    // files pruned driver-side BEFORE the scan, residual filter after
+    // (pruning admits a superset) — must equal the full scan + filter.
+    "q90_skipping_scan" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skip_${System.nanoTime()}"
+      graft.ops.Layout.zorderWrite(Tables.lineitem(s, d), "l_partkey", "l_suppkey", dir, 16)
+      graft.ops.DataSkipping.writeManifest(s, dir, Seq("l_partkey", "l_suppkey"))
+      graft.ops.DataSkipping.prunedRead(s, dir,
+          Map("l_partkey" -> (1L, 60L), "l_suppkey" -> (1L, 3L)))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1302,5 +1314,11 @@ object SparkEntry {
         |  WHERE c_custkey NOT BETWEEN 200 AND 210
         |  UNION ALL
         |  SELECT CAST(999999 AS BIGINT), 'new customer', 1.5)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    // Skipping must be invisible in the result: plain filter on the source.
+    "q90_skipping_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 60 AND l_suppkey BETWEEN 1 AND 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
