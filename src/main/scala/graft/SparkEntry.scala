@@ -510,7 +510,11 @@ object SparkEntry {
           Map("l_partkey" -> (1L, 60L), "l_suppkey" -> (1L, 3L)))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
-    }))
+    }),
+    // Exact-substring duplication signal (suffix-array dedup family at
+    // n-gram granularity): per-doc fraction of 8-token spans occurring
+    // anywhere else in the corpus.
+    "q91_dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1320,5 +1324,20 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
         |WHERE l_partkey BETWEEN 1 AND 60 AND l_suppkey BETWEEN 1 AND 3
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // DuckDB 1-based inclusive slices: t[i : i+7] is the 8-token span.
+    "q91_dup_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i : i + 7], ' '))) AS span
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 8),
+        |counted AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY span) AS c FROM sh)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_fraction
+        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -476,6 +476,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span fraction — the exact-substring-duplication signal
+    * (the suffix-array dedup family, approximated at n-gram granularity):
+    * what fraction of a document's n-token spans occur anywhere else in
+    * the corpus (including its own other positions)? High fractions mark
+    * boilerplate/templated text that pairwise near-dup scoring (q28/q30)
+    * misses when no single partner document is similar overall.
+    *
+    * Same shape as [[bigramQuality]]: map-side shingling, one shuffle
+    * keyed by span for the count window, one per-doc re-aggregation.
+    * Deterministic: counts are integers; the fraction is a small-integer
+    * ratio rounded to fixed precision. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+        .as("span"))
+    val bySpan = Window.partitionBy("span")
+    sh
+      .withColumn("c", count(lit(1)).over(bySpan))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source lexical-similarity matrix — mixture governance: for
     * every pair of sources, the Jaccard overlap of their distinct-token
     * vocabularies. Sources that are lexical near-clones double-count in a

@@ -290,6 +290,38 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(groups.filter(col("variants") =!= 1).count() == 0)
   }
 
+  test("duplicatedSpans: hand-computed span duplication on a tiny corpus") {
+    import spark.implicits._
+    // n=3 spans. doc1 "a b c d": spans {abc, bcd}. doc2 "a b c": {abc}.
+    // doc3 "x y z": {xyz}. doc4 "q r": too short -> absent.
+    // abc occurs twice (docs 1,2) -> duplicated; bcd, xyz unique.
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c"),
+      (3L, "x y z"),
+      (4L, "q r"))
+      .toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpans(d, n = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Double]("dup_fraction"))).toMap
+    assert(byDoc(1L) == (2L, 1L, 0.5))
+    assert(byDoc(2L) == (1L, 1L, 1.0))
+    assert(byDoc(3L) == (1L, 0L, 0.0))
+  }
+
+  test("duplicatedSpans: within-doc repetition counts as duplication") {
+    import spark.implicits._
+    // "a b a b a b": 3-spans [aba, bab, aba, bab] -> every span duplicated
+    // WITHIN the doc (the boilerplate case pairwise dedup can't see).
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = TextOps.duplicatedSpans(d, n = 3).head()
+    assert(r.getAs[Long]("n_spans") == 4L)
+    assert(r.getAs[Long]("n_dup_spans") == 4L)
+    assert(r.getAs[Double]("dup_fraction") == 1.0)
+  }
+
   test("vocabularyOverlap: hand-computed Jaccard on a tiny corpus") {
     import spark.implicits._
     // s1 vocab {a,b,c}, s2 vocab {b,c,d}, s3 vocab {x}.
