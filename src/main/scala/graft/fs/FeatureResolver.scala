@@ -71,6 +71,34 @@ trait FeatureResolver {
     }.toMap
     resolverSession.sparkContext.broadcast(keyed)
   }
+
+  /** Point read by PREDICATE PUSHDOWN — the path for tables beyond the
+    * [[FeatureResolver.MaxPointLookupRows]] broadcast bound, where
+    * [[lookupOne]] refuses. One filtered scan per call: the PK equality
+    * reaches the parquet reader (`PushedFilters` in the plan — asserted by
+    * FeatureStoreSpec), so row-group min/max stats skip everything but the
+    * groups that can hold the key; on a PK-partitioned or PK-sorted layout
+    * the IO approaches one row group. Latency is a scan task, not a hash
+    * probe — the trade against [[lookupOne]] is per-call cost vs unbounded
+    * table size and zero warm-up. */
+  def lookupOneScan(name: String, key: Any*): Option[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ft = getTable(name)
+    require(ft.primaryKeys.nonEmpty, s"lookupOneScan($name): table has no primary keys")
+    require(key.length == ft.primaryKeys.length,
+      s"lookupOneScan($name): key arity ${key.length} != PK arity ${ft.primaryKeys.length}")
+    val pred = ft.primaryKeys.zip(key)
+      .map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    // limit(2): detect (impossible-by-contract) duplicates without ever
+    // materializing more than two rows.
+    readTable(name).filter(pred).limit(2).collect() match {
+      case Array(row) => Some(row)
+      case Array()    => None
+      case _ => throw new IllegalStateException(
+        s"lookupOneScan($name): primary key ${key.mkString(",")} is not unique")
+    }
+  }
 }
 
 object FeatureResolver {

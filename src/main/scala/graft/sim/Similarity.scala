@@ -146,6 +146,44 @@ object Similarity {
     def unpersist(): IvfIndex = { assigned.unpersist(); this }
   }
 
+  /** Persist an IVF index: cell assignments as parquet PARTITIONED BY
+    * `cell` (a probe filtering on nprobe cells becomes a partition-pruned
+    * scan — the production shape alluded to in the [[IvfIndex]] docs),
+    * centroids as a JSON sidecar. Build once, query across sessions —
+    * the index contract the in-memory memoization only approximates. */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    val json = index.centroids.map { case (i, c) =>
+      s"""{"i":$i,"c":[${c.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Load a persisted IVF index. The assignment frame stays disk-backed
+    * (partition-pruned probes, no cache warm-up needed). */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no centroids sidecar at $p")
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val centroids = JsonMethods.parse(raw).extract[Seq[Map[String, Any]]].map { m =>
+      (m("i").asInstanceOf[Number].intValue(),
+        m("c").asInstanceOf[Seq[Number]].map(_.doubleValue()).toArray)
+    }.toArray.sortBy(_._1)
+    IvfIndex(assigned, centroids)
+  }
+
   /** Build the IVF index. One bounded sample job + driver-local Lloyd
     * iterations + one narrow assignment pass — no ML-pipeline fit in sight.
     * Deterministic: the sample is hash-ordered (`xxhash64(vec_id, seed)`),

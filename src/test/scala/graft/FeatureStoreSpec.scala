@@ -260,6 +260,23 @@ class FeatureStoreSpec extends SparkSpec {
       (2L, None, "update_preimage")))
   }
 
+  test("lookupOneScan: pushed-down point read matches the broadcast path") {
+    store.createTable("scan_lookup", Seq("customer_id"),
+      CsvIngest.readInferred(spark, refData("customer_features.csv")))
+    val viaScan = store.lookupOneScan("scan_lookup", 7)
+    val viaIndex = store.lookupOne("scan_lookup", 7)
+    assert(viaScan.isDefined && viaIndex.isDefined)
+    assert(viaScan.get.toSeq == viaIndex.get.toSeq)
+    assert(store.lookupOneScan("scan_lookup", 99999).isEmpty)
+    // The PK equality must reach the parquet reader, not run post-scan.
+    val plan = store.readTable("scan_lookup")
+      .filter(org.apache.spark.sql.functions.col("customer_id") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(customer_id), EqualTo(customer_id,7)]"),
+      s"PK filter not pushed to the scan:\n$plan")
+    intercept[IllegalArgumentException] { store.lookupOneScan("scan_lookup", 1, 2) }
+  }
+
   test("upsert mergeSchema evolves the table: new columns added, old rows read null") {
     import spark.implicits._
     val s = new FeatureStore(spark, Files.createTempDirectory("graft_evo").toString)

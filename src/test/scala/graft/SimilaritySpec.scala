@@ -60,6 +60,29 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     assert(partial.length == 10)
   }
 
+  test("IVF index save/load round-trips: same probes, partition-pruned scan") {
+    val embeddings = Tables.embeddings(spark, sf)
+    val index = Similarity.buildIvf(embeddings, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvf(index, path)
+    val loaded = Similarity.loadIvf(spark, path)
+    // Same centroids, same probe results, across the persistence boundary.
+    assert(loaded.centroids.map(_._1).toSeq == index.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(index.centroids).forall {
+      case ((_, a), (_, b)) => a.sameElements(b) })
+    val before = Similarity.ivfTopK(index, 0, 10, nprobe = 3).collect().toSeq
+    val after = Similarity.ivfTopK(loaded, 0, 10, nprobe = 3).collect().toSeq
+    assert(after == before)
+    // The on-disk layout is partitioned by cell, so a probe's cell filter
+    // prunes partitions at plan time instead of scanning the corpus.
+    val probePlan = loaded.assigned
+      .filter(org.apache.spark.sql.functions.col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") && probePlan.contains("cell"),
+      s"cell filter did not become a partition filter:\n$probePlan")
+    index.unpersist()
+  }
+
   test("knn join returns the brute-force top-k for every query row") {
     val queries = embeddings.filter(col("vec_id") < 3)
     val got = Similarity.knnJoin(embeddings, queries, 5).collect()
