@@ -114,6 +114,50 @@ final class CatalogFeatureStore(
     FeatureTable(name, primaryKeys, description, df.schema, fullName(name))
   }
 
+  /** PK-keyed merge write for the catalog mode — same contract as
+    * [[FeatureStore.upsert]] (matched keys replaced, rest survive, new
+    * keys append). The merged frame is pinned with a localCheckpoint
+    * before `saveAsTable(overwrite)` (Spark refuses to overwrite a table
+    * its own plan is reading), and the table's bucket spec + graft
+    * properties are restored after the rewrite, so a bucketed table keeps
+    * its zero-exchange join property across refreshes. On Delta this
+    * whole method is `MERGE INTO`; the checkpoint-and-rewrite is the
+    * plain-parquet fallback and costs one materialization of the table. */
+  def upsert(name: String, updates: DataFrame): FeatureTable = {
+    val ft = getTable(name)
+    FeatureStore.validatePrimaryKeys(name, ft.primaryKeys, updates, enforce = true)
+    val existing = readTable(name)
+    require(existing.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert($name): column mismatch — table has ${existing.columns.sorted.mkString(",")}, " +
+        s"updates have ${updates.columns.sorted.mkString(",")}")
+    val merged = existing
+      .join(updates.select(ft.primaryKeys.map(org.apache.spark.sql.functions.col): _*),
+        ft.primaryKeys, "left_anti")
+      .unionByName(updates)
+      .localCheckpoint(true)
+    val catalog = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    val bucketSpec = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some(database))).bucketSpec
+    val writer = bucketSpec match {
+      case Some(bs) =>
+        val cols = bs.bucketColumnNames
+        val w = merged.repartition(bs.numBuckets, cols.map(merged(_)): _*)
+          .write.bucketBy(bs.numBuckets, cols.head, cols.tail: _*)
+        if (bs.sortColumnNames.nonEmpty)
+          w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        else w
+      case None => merged.write
+    }
+    writer.mode("overwrite").format("parquet").saveAsTable(fullName(name))
+    spark.sql(
+      s"""ALTER TABLE ${fullName(name)} SET TBLPROPERTIES (
+         |  'graft.primaryKeys' = '${ft.primaryKeys.mkString(",").replace("'", "''")}',
+         |  'graft.description' = '${ft.description.replace("'", "''")}')""".stripMargin)
+    invalidatePointIndex(name)
+    FeatureTable(name, ft.primaryKeys, ft.description, merged.schema, fullName(name))
+  }
+
   /** Read a registered table by name (reference: 02_model_training.py:145). */
   override def readTable(name: String): DataFrame = spark.table(fullName(name))
 

@@ -105,6 +105,34 @@ class CatalogStoreSpec extends SparkSpec {
     }
   }
 
+  test("catalog upsert merges by PK and keeps metadata") {
+    store.createTable("cat_upsert_t", Seq("id"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "merge target")
+    store.upsert("cat_upsert_t", Seq((2L, "B"), (9L, "new")).toDF("id", "v"))
+    val got = store.readTable("cat_upsert_t").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "new"))
+    // graft properties survive the rewrite (a fresh store re-attaches).
+    val fresh = new CatalogFeatureStore(spark, "graft_test_db",
+      Some(s"$warehouse/graft_test_db.db"))
+    assert(fresh.getTable("cat_upsert_t").primaryKeys == Seq("id"))
+    assert(fresh.getTable("cat_upsert_t").description == "merge target")
+  }
+
+  test("catalog upsert preserves the bucket spec (zero-exchange joins survive refresh)") {
+    val df = Tables.customer(spark, sf)
+    store.createTable("cust_bucket_up", Seq("c_custkey"), df, "bucketed", buckets = 4)
+    store.upsert("cust_bucket_up",
+      df.filter(col("c_custkey") <= 10).withColumn("c_acctbal", col("c_acctbal") * 0))
+    val ddl = spark.sql("SHOW CREATE TABLE graft_test_db.cust_bucket_up")
+      .head().getString(0)
+    assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"),
+      s"bucket spec lost on upsert: $ddl")
+    assert(store.readTable("cust_bucket_up").count() == df.count())
+    assert(store.readTable("cust_bucket_up")
+      .filter(col("c_custkey") <= 10 && col("c_acctbal") =!= 0).count() == 0)
+  }
+
   test("orphan cleanup refuses to delete directories holding foreign files") {
     val df = Seq((1, "a")).toDF("id", "v")
     // Simulate a stale location that contains a file the store never wrote:
