@@ -67,6 +67,22 @@ object SparkEntry {
         idx
     }
 
+  /** Session-lifetime PQ codebooks + encoded corpus per dir (see q92) —
+    * the index contract again: train/encode once, probe many times. */
+  private val pqIndexes = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, Similarity.PqCodebooks, DataFrame)]
+  private def pqIndex(s: SparkSession, d: String): (Similarity.PqCodebooks, DataFrame) =
+    pqIndexes.get(d) match {
+      case Some((owner, cb, enc)) if (owner eq s) &&
+          enc.storageLevel != org.apache.spark.storage.StorageLevel.NONE => (cb, enc)
+      case _ =>
+        val cb = Similarity.pqTrain(Tables.embeddings(s, d))
+        val enc = Similarity.pqEncode(Tables.embeddings(s, d), cb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pqIndexes.put(d, (s, cb, enc))
+        (cb, enc)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- scans / filters / joins / aggs (SURVEY §2.1-2.4, §7.3) ------------
@@ -514,7 +530,15 @@ object SparkEntry {
     // Exact-substring duplication signal (suffix-array dedup family at
     // n-gram granularity): per-doc fraction of 8-token spans occurring
     // anywhere else in the corpus.
-    "q91_dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))))
+    "q91_dup_spans" -> ((s, d) => TextOps.duplicatedSpans(Tables.documents(s, d))),
+    // Product-quantized ANN (IVFPQ family): 8x16 codebooks, ADC coarse
+    // scan via a 128-entry LUT, exact rerank on 64 candidates. Approximate
+    // by design -> no SQL oracle; SimilaritySpec proves full-candidate
+    // exactness and measures pruned recall.
+    "q92_pq_topk" -> ((s, d) => {
+      val (cb, enc) = pqIndex(s, d)
+      Similarity.pqTopK(enc, cb, 0, 20)
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */

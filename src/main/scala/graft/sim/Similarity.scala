@@ -315,6 +315,96 @@ object Similarity {
     }
   }
 
+  // ---- Product quantization (the FAISS IVFPQ family's code path) --------
+
+  /** Per-subspace codebooks: `books(sub)(code)` is a dsub-dimensional
+    * centroid. M codes of K values compress a d-float vector to M small
+    * ints — 16× beyond the int8 scalar quantization of [[quantize]], the
+    * regime where 100 TB of raw embeddings become ~6 TB of codes that fit
+    * hot storage. */
+  final case class PqCodebooks(m: Int, k: Int, dsub: Int,
+      books: Array[Array[Array[Double]]])
+
+  /** Train PQ codebooks: one bounded sample scan (the [[buildIvf]]
+    * pattern), then M independent driver-local Lloyd fits — one per
+    * subspace. Deterministic: hash-ordered sample, seeded init. */
+  def pqTrain(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+      maxFitRows: Int = 4096, seed: Long = 42L, lloydIters: Int = 20): PqCodebooks = {
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000007L)), col("vec_id"))
+      .limit(maxFitRows)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"pqTrain: dimension $d not divisible by m=$m")
+    val dsub = d / m
+    val books = Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      Lloyd.fit(sub, k, lloydIters).map(_._2)
+    }
+    PqCodebooks(m, k, dsub, books)
+  }
+
+  /** Attach a `codes` column (array of M small ints): per subspace,
+    * argmin-distance code via the same codegen'd least-over-structs trick
+    * as IVF cell assignment — ‖x−c‖² = ‖c‖² − 2x·c (+‖x‖², constant per
+    * row and subspace). One narrow map pass, codebooks ride as broadcast
+    * literals. */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebooks): DataFrame = {
+    val codeCols = (0 until cb.m).map { s =>
+      val subCol = expr(s"slice(embedding, ${s * cb.dsub + 1}, ${cb.dsub})")
+      val scored = (0 until cb.k).map { code =>
+        val c = cb.books(s)(code)
+        val cNorm2 = c.map(x => x * x).sum
+        struct(
+          (lit(cNorm2) - lit(2.0) * dot(subCol, typedLit(c.toSeq))).as("s"),
+          lit(code).as("i"))
+      }
+      (if (scored.length == 1) lit(0) else least(scored: _*).getField("i")).cast("int")
+    }
+    embeddings.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** Two-stage PQ search (asymmetric distance computation): the coarse
+    * pass scores every row as Σₛ LUT[s][codeₛ] — M `element_at` probes
+    * into one flat literal lookup table of query·centroid dot products,
+    * no vector arithmetic per row at all — keeps the best `candidates`
+    * (TakeOrderedAndProject), and the exact cosine rerank runs only on
+    * those. At `candidates >= corpus` the result provably equals the
+    * exact brute-force top-k (SimilaritySpec); at realistic candidate
+    * budgets recall is measured, not assumed. */
+  def pqTopK(encoded: DataFrame, cb: PqCodebooks, queryVecId: Long, k: Int,
+      candidates: Int = 64, roundDigits: Int = 6): DataFrame = {
+    val q = encoded.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val lut: Seq[Double] = for {
+      s <- 0 until cb.m
+      code <- 0 until cb.k
+    } yield {
+      val c = cb.books(s)(code)
+      var acc = 0.0
+      var j = 0
+      while (j < cb.dsub) { acc += q(s * cb.dsub + j) * c(j); j += 1 }
+      acc
+    }
+    val lutLit = typedLit(lut)
+    val approxDot = (0 until cb.m)
+      .map(s => element_at(lutLit, lit(s * cb.k + 1) + col("codes").getItem(s)))
+      .reduce(_ + _)
+    encoded.filter(col("vec_id") =!= queryVecId)
+      .withColumn("approx_dot", approxDot)
+      .orderBy(desc("approx_dot"), col("vec_id"))
+      .limit(candidates)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), typedLit(q.toSeq)), roundDigits).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), col("vec_id"))
+      .limit(k)
+      .orderBy(desc("cosine_sim"), col("vec_id"))
+  }
+
   /** Per-label embedding centroids, unpivoted to (label, n_vectors, pos,
     * centroid) rows with 1-based positions — class prototypes for
     * centroid-based classification, drift monitoring, or IVF-style cell

@@ -83,6 +83,43 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     index.unpersist()
   }
 
+  test("PQ: codes are well-formed; full-candidate search equals exact top-k; pruned recall is high") {
+    val embeddings = Tables.embeddings(spark, sf)
+    val cb = Similarity.pqTrain(embeddings, m = 8, k = 16)
+    assert(cb.dsub == 8)
+    val encoded = Similarity.pqEncode(embeddings, cb).cache()
+    try {
+      val codes = encoded.select("codes").collect().map(_.getSeq[Int](0))
+      assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+      val n = encoded.count().toInt
+
+      val exact = Similarity.bruteForceTopK(embeddings, 0, 10).collect()
+        .map(_.getLong(0)).toSeq
+      // candidates >= corpus: the rerank sees everything -> provably exact.
+      val full = Similarity.pqTopK(encoded, cb, 0, 10, candidates = n).collect()
+        .map(_.getLong(0)).toSeq
+      assert(full == exact)
+      // Realistic pruning: 64 of ~500 candidates — measured recall, not
+      // assumed. The ADC table is a 128-entry LUT, so a weak codebook
+      // would show up here immediately.
+      val pruned = Similarity.pqTopK(encoded, cb, 0, 10, candidates = 64).collect()
+        .map(_.getLong(0)).toSet
+      val recall = exact.count(pruned.contains) / 10.0
+      assert(recall >= 0.7, s"PQ recall@10 too low: $recall")
+    } finally { encoded.unpersist(); () }
+  }
+
+  test("PQ training is deterministic and rejects indivisible dimensions") {
+    val embeddings = Tables.embeddings(spark, sf)
+    val a = Similarity.pqTrain(embeddings, m = 4, k = 8)
+    val b = Similarity.pqTrain(embeddings, m = 4, k = 8)
+    assert(a.books.flatten.flatten.toSeq == b.books.flatten.flatten.toSeq)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(embeddings, m = 7)
+    }
+    assert(err.getMessage.contains("not divisible"))
+  }
+
   test("knn join returns the brute-force top-k for every query row") {
     val queries = embeddings.filter(col("vec_id") < 3)
     val got = Similarity.knnJoin(embeddings, queries, 5).collect()
