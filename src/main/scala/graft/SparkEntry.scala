@@ -538,6 +538,29 @@ object SparkEntry {
     "q92_pq_topk" -> ((s, d) => {
       val (cb, enc) = pqIndex(s, d)
       Similarity.pqTopK(enc, cb, 0, 20)
+    }),
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // totals table is refreshed from 3 disjoint batches by merging
+    // additive partials (long cents — integer addition, so carving
+    // provably cannot change the answer); must equal the full GROUP BY.
+    "q93_incremental_agg" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_inc_store_${System.nanoTime()}"
+      val store = new FeatureStore(s, dir)
+      val ev = Tables.events(s, d).withColumn("cents",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)"))
+      def partials(df: DataFrame) = df.groupBy("user_id").agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum("cents").as("cents"))
+      store.createTable("user_totals_mv", Seq("user_id"), partials(ev).limit(0))
+      (0 until 3).foreach { i =>
+        graft.ops.Incremental.mergeAdditive(store, "user_totals_mv",
+          partials(ev.filter(pmod(col("event_id"), lit(3)) === lit(i))))
+      }
+      store.readTable("user_totals_mv")
+        .select(col("user_id"), col("n_events"),
+          (col("cents") / lit(100.0)).as("sum_value"))
+        .orderBy("user_id")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1363,5 +1386,10 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |  round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
         |    AS dup_fraction
-        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The incrementally maintained table must equal the full GROUP BY.
+    "q93_incremental_agg" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -297,6 +297,24 @@ class FeatureStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("type conflict"))
   }
 
+  test("mergeAdditive: hand-computed incremental refresh, null-as-zero for new keys") {
+    import spark.implicits._
+    import graft.ops.Incremental
+    val s = new FeatureStore(spark, Files.createTempDirectory("graft_inc").toString)
+    s.createTable("mv", Seq("k"), Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("k", "n", "total"))
+    // Batch: 'a' gains (1, 7); 'c' is brand new (3, 30); 'b' untouched.
+    Incremental.mergeAdditive(s, "mv", Seq(("a", 1L, 7L), ("c", 3L, 30L)).toDF("k", "n", "total"))
+    val got = s.readTable("mv").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 3L, 17L), ("b", 1L, 5L), ("c", 3L, 30L)))
+    // Non-numeric partial columns are rejected up front.
+    s.createTable("mv_bad", Seq("k"), Seq(("a", "text")).toDF("k", "v"))
+    val err = intercept[IllegalArgumentException] {
+      Incremental.mergeAdditive(s, "mv_bad", Seq(("a", "more")).toDF("k", "v"))
+    }
+    assert(err.getMessage.contains("numeric"))
+  }
+
   test("delete removes matching rows, snapshots, and logs") {
     import spark.implicits._
     val s = new FeatureStore(spark, Files.createTempDirectory("graft_del").toString)
