@@ -54,6 +54,24 @@ object Layout {
     }
   }
 
+  /** Morton code of D bucket ids, `bits` bits each: dimension d occupies
+    * bit positions i·D + d. The general form of [[interleaveBits]] (bit
+    * positions coincide at D = 2): bits·D explicit bit terms OR-folded —
+    * still pure codegen'd bitwise builtins, just without the mask-spread
+    * shortcut. Bounded: bits·D ≤ 63. */
+  def interleaveBitsN(buckets: Seq[Column], bits: Int): Column = {
+    val d = buckets.length
+    require(d >= 2, s"need >= 2 dimensions, got $d")
+    require(bits * d <= 63, s"bits*dims must fit a long: $bits*$d")
+    val terms = for {
+      i <- 0 until bits
+      dim <- 0 until d
+    } yield shiftleft(
+      shiftright(buckets(dim).cast("bigint"), i).bitwiseAND(lit(1L)),
+      i * d + dim)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Rewrite `df` at `path` as `nFiles` parquet files clustered along the
     * Z-order curve of (`colX`, `colY`), `bits` bits per dimension
     * (2^bits quantile buckets each). Data is unchanged — only layout. */
@@ -63,12 +81,27 @@ object Layout {
     val z = interleaveBits(
       quantileBucket(df, colX, 1 << bits),
       quantileBucket(df, colY, 1 << bits))
+    writeAlong(df, z, path, nFiles)
+  }
+
+  /** N-dimensional clustered rewrite (the ZORDER BY col1, ..., colN
+    * form): quantile-bucket each column, interleave all of them. More
+    * dimensions share the same bit budget — per-dimension selectivity
+    * degrades as D grows (the curse every multi-dim index pays), so
+    * cluster on the 2-4 hottest predicate columns, not everything. */
+  def zorderWriteN(df: DataFrame, cols: Seq[String], path: String,
+      nFiles: Int, bits: Int = 4): Unit = {
+    require(bits >= 1 && bits <= 16, s"bits in [1, 16], got $bits")
+    val z = interleaveBitsN(cols.map(c => quantileBucket(df, c, 1 << bits)), bits)
+    writeAlong(df, z, path, nFiles)
+  }
+
+  private def writeAlong(df: DataFrame, z: Column, path: String, nFiles: Int): Unit =
     df.withColumn("__graft_z", z)
       .repartitionByRange(nFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
-  }
 
   /** Single-dimension comparison layout (what a naive `ORDER BY colX`
     * rewrite gives you): tight bounds on `colX`, arbitrary on everything

@@ -24,6 +24,46 @@ class LayoutSpec extends SparkSpec {
     assert(out.getLong(4) == 2L)   // y -> odd position
   }
 
+  test("interleaveBitsN: agrees with the 2-D fast path and hand-checks in 3-D") {
+    val out = spark.range(1).select(
+      Layout.interleaveBitsN(Seq(lit(3), lit(1)), bits = 4).as("two"),
+      Layout.interleaveBits(lit(3), lit(1)).as("twoFast"),
+      // 3-D: x=1 -> bit 0; y=1 -> bit 1; z=1 -> bit 2.
+      Layout.interleaveBitsN(Seq(lit(1), lit(1), lit(1)), bits = 1).as("ones"),
+      // x=2 (bit 1 of x) lands at position 1*3+0 = 3 -> 8.
+      Layout.interleaveBitsN(Seq(lit(2), lit(0), lit(0)), bits = 2).as("xhi")).head()
+    assert(out.getLong(0) == out.getLong(1))
+    assert(out.getLong(2) == 7L)
+    assert(out.getLong(3) == 8L)
+    // Property: the general form equals the mask-spread 2-D fast path
+    // across the whole bucket domain.
+    val pairs = spark.range(256).select(
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    val diff = pairs.select(
+      (Layout.interleaveBitsN(Seq(col("x"), col("y")), 4) =!=
+        Layout.interleaveBits(col("x"), col("y"))).as("ne"))
+      .filter(col("ne")).count()
+    assert(diff == 0)
+  }
+
+  test("3-column z-order prunes a 3-D box better than a 1-column sort") {
+    val li = Tables.lineitem(spark, sf)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin3").toString
+    Layout.zorderWriteN(li, Seq("l_partkey", "l_suppkey", "l_quantity"), zDir, 16)
+    Layout.linearWrite(li, "l_partkey", linDir, 16)
+    def touched(dir: String): (Long, Long) = {
+      val hit = spark.read.parquet(dir).filter(
+        col("l_partkey").between(1, 60) && col("l_suppkey").between(1, 4) &&
+          col("l_quantity").between(1, 20))
+      (hit.select(input_file_name()).distinct().count(), hit.count())
+    }
+    val (zFiles, zRows) = touched(zDir)
+    val (linFiles, linRows) = touched(linDir)
+    assert(zRows == linRows && zRows > 0)
+    assert(zFiles < linFiles, s"3-D z-order touched $zFiles vs linear $linFiles")
+  }
+
   test("quantileBucket is monotone and spans the bucket range") {
     val li = Tables.lineitem(spark, sf)
     val b = li.select(col("l_partkey"),
