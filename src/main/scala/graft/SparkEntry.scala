@@ -561,7 +561,13 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"),
           (col("cents") / lit(100.0)).as("sum_value"))
         .orderBy("user_id")
-    }))
+    }),
+    // BPE merge learning — tokenizer training on the corpus: one corpus
+    // pass builds the word vocab, then numMerges vocab-sized iterations.
+    // Iterative -> no SQL oracle; BpeTrainSpec pins the classic
+    // hand-computed merge sequence and determinism.
+    "q94_bpe_merges" -> ((s, d) =>
+      graft.text.BpeTrain.learnMerges(Tables.documents(s, d), numMerges = 20)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */

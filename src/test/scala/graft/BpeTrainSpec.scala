@@ -1,0 +1,57 @@
+package graft
+
+import graft.text.BpeTrain
+
+class BpeTrainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("learnMerges reproduces the classic hand-computed merge sequence") {
+    // The standard BPE teaching corpus: hug x10, pug x5, pun x12, bun x4,
+    // hugs x5. Pair counts round 1: (u,g) = 10+5+5 = 20 (hug, pug, hugs),
+    // (u,n) = 12+4 = 16, (h,u) = 15, (p,u) = 17... wait: (p,u) appears in
+    // pug(5) + pun(12) = 17. So round 1 best is (u,g) 20.
+    // Round 2 (after ug): pun/bun still have (u,n) = 16; (p,u) drops to 12
+    // (pun only). Best: (u,n) 16. Round 3: (h,ug) = 15 (hug + hugs).
+    val docs = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, numMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1, "u", "g", "ug", 20L),
+      (2, "u", "n", "un", 16L),
+      (3, "h", "ug", "hug", 15L)))
+  }
+
+  test("merges apply greedily left-to-right without overlap") {
+    // 'aaa' x2: pair (a,a) counts once per adjacent position = 2 per word
+    // -> freq 4; after the merge each word is [aa, a] (non-overlapping),
+    // so round 2's best pair is (aa, a) with freq 2.
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, numMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq == Seq(("a", "a", 4L), ("aa", "a", 2L)))
+  }
+
+  test("learning stops early when every word is a single symbol") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, numMerges = 10).collect()
+    assert(merges.length == 1) // (a,b) fuses everything; nothing left to merge
+    assert(merges.head.getString(3) == "ab")
+  }
+
+  test("corpus-scale run: deterministic and ranked by frequency") {
+    val docs = Tables.documents(spark, sf)
+    val a = BpeTrain.learnMerges(docs, numMerges = 5).collect()
+    val b = BpeTrain.learnMerges(docs, numMerges = 5).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val freqs = a.map(_.getLong(4)).toSeq
+    // Merge frequencies can rise after a fuse creates a new symbol, but
+    // rank 1 is by construction the global max pair count.
+    assert(freqs.head == freqs.max)
+    assert(a.length == 5)
+  }
+}
