@@ -567,7 +567,15 @@ object SparkEntry {
     // Iterative -> no SQL oracle; BpeTrainSpec pins the classic
     // hand-computed merge sequence and determinism.
     "q94_bpe_merges" -> ((s, d) =>
-      graft.text.BpeTrain.learnMerges(Tables.documents(s, d), numMerges = 20)))
+      graft.text.BpeTrain.learnMerges(Tables.documents(s, d), numMerges = 20)),
+    // Tokenize the corpus with the LEARNED vocabulary (merges applied
+    // once per distinct word, corpus joins the vocab map). Rows-only:
+    // the learned vocab itself is not SQL-expressible.
+    "q95_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.BpeTrain.bpeEncode(docs,
+        graft.text.BpeTrain.learnMerges(docs, numMerges = 20))
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */

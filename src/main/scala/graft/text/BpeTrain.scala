@@ -78,4 +78,41 @@ object BpeTrain {
 
   /** Single-quoted SQL string literal with escaping. */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Tokenize a corpus with LEARNED merges: per-document word and
+    * BPE-token counts under the trained vocabulary.
+    *
+    * The merges are applied once per DISTINCT word (the corpus's word
+    * vocabulary, not its word instances) — ranked merges replayed in
+    * order over the char sequence, exactly the greedy fuse used during
+    * training — and documents join against that word→token-count map.
+    * At 100 TB the expensive symbolic work is vocab-sized; the corpus
+    * pays one explode + one equi-join on the word (Catalyst broadcasts
+    * a bounded vocab). */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val ranked = merges.orderBy("rank")
+      .select("left", "right", "merged").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocabEncoded = ranked.foldLeft(
+      words.select("w").distinct()
+        .withColumn("symbols",
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))) {
+      case (df, (l, r, m)) =>
+        df.withColumn("symbols",
+          expr(s"""aggregate(symbols, CAST(array() AS array<string>), (acc, x) ->
+            CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)}
+                 THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(m)}))
+                 ELSE concat(acc, array(x)) END)"""))
+    }.select(col("w"), size(col("symbols")).as("n_word_tokens"))
+    words.join(vocabEncoded, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_word_tokens")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, length, sum}
+
 import graft.text.BpeTrain
 
 class BpeTrainSpec extends SparkSpec {
@@ -41,6 +43,28 @@ class BpeTrainSpec extends SparkSpec {
     val merges = BpeTrain.learnMerges(docs, numMerges = 10).collect()
     assert(merges.length == 1) // (a,b) fuses everything; nothing left to merge
     assert(merges.head.getString(3) == "ab")
+  }
+
+  test("bpeEncode tokenizes with the learned vocabulary, hand-checked") {
+    val docs = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, numMerges = 3) // ug, un, hug
+    // One doc with all five words: hug->[hug]=1, pug->[p,ug]=2,
+    // pun->[p,un]=2, bun->[b,un]=2, hugs->[hug,s]=2 => 9 tokens, 5 words.
+    val sample = Seq((100L, "hug pug pun bun hugs")).toDF("doc_id", "text")
+    val out = BpeTrain.bpeEncode(sample, merges).head()
+    assert(out.getAs[Long]("n_words") == 5L)
+    assert(out.getAs[Long]("n_bpe_tokens") == 9L)
+    // Compression sanity on the training corpus itself: BPE tokens per
+    // word must be strictly below raw chars per word and >= 1.
+    val full = BpeTrain.bpeEncode(docs, merges)
+      .agg(sum("n_bpe_tokens").as("t"), sum("n_words").as("w")).head()
+    assert(full.getLong(0) >= full.getLong(1))
+    val chars = docs.select(sum(length(col("text")))).head().getLong(0)
+    assert(full.getLong(0) < chars)
   }
 
   test("corpus-scale run: deterministic and ranked by frequency") {
