@@ -575,6 +575,39 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.text.BpeTrain.bpeEncode(docs,
         graft.text.BpeTrain.learnMerges(docs, numMerges = 20))
+    }),
+    // Correlated scalar subqueries (TPC-H Q17 shape): Catalyst must
+    // DECORRELATE the two per-part scalars into aggregate+join — the plan
+    // a naive engine would execute as one subquery per row. Integer-exact
+    // comparison (cents x count), so the below-half-average cut can't
+    // flip on float ulps between engines.
+    "q96_correlated_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_sq")
+      s.sql(
+        s"""SELECT l_partkey, COUNT(*) AS n_small,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+           |FROM graft_lineitem_sq l1
+           |WHERE CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) * 2 *
+           |    (SELECT COUNT(*) FROM graft_lineitem_sq l2
+           |     WHERE l2.l_partkey = l1.l_partkey)
+           |  < (SELECT SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT))
+           |     FROM graft_lineitem_sq l2 WHERE l2.l_partkey = l1.l_partkey)
+           |GROUP BY l_partkey
+           |ORDER BY l_partkey""".stripMargin)
+    }),
+    // Explicit GROUPING SETS with grouping() markers — the generalized
+    // form behind q10's ROLLUP and q62's CUBE.
+    "q97_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM graft_lineitem_gs
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+           |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1405,5 +1438,25 @@ object SparkEntry {
     "q93_incremental_agg" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q96_correlated_subquery" ->
+      """SELECT l_partkey, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l1
+        |WHERE CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) * 2 *
+        |    (SELECT COUNT(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey)
+        |  < (SELECT SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT))
+        |     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
+    "q97_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
 }
