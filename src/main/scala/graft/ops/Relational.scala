@@ -312,4 +312,22 @@ object Relational {
         count(lit(1)).as("n_customers"),
         sum(dec2(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
       .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
+
+  /** Distribution window functions — ntile / percent_rank / cume_dist
+    * (the ranking family q11's rank/lag does not cover). The window order
+    * includes the key, so ranks are total and deterministic; the two
+    * fractions are exact small-integer rationals ((rank−1)/(n−1),
+    * rank/n) at fixed precision. One shuffle keyed by the partition
+    * column, same as any window. */
+  def rankDistributions(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
 }

