@@ -229,7 +229,7 @@ object Dedup {
     * adopts the smallest doc_id reachable over one edge). Converges in
     * O(cluster diameter) rounds; dup clusters are shallow so `maxIter` = 10
     * is generous. Returns (doc_id, cluster_id, is_representative). */
-  def clusterPairs(documents: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusterPairs(documents: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Undirected edge list, both directions.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -249,20 +249,40 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      // __changed rides along so convergence is read off the already
-      // materialized checkpoint — no extra join-and-count pass per round.
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("__changed"))
+          col("cluster_id").as("__old"))
+      // Pointer jumping (path compression): replace each label by its
+      // LABEL'S label. Plain min-propagation alone needs diameter rounds —
+      // a chain longer than maxIter would silently yield WRONG clusters
+      // (the sf0.1 oracle caught exactly this in round 3, and the loop now
+      // REFUSES to return unconverged labels); the compression step cuts
+      // the round count several-fold (a 200-node path closes in ~9 rounds,
+      // not 199). Labels are doc_ids, so the self-join key always
+      // resolves, and labels are monotone non-increasing.
+      val parents = propagated.select(
+        col("doc_id").as("__p_id"), col("cluster_id").as("__p_label"))
+      val next = propagated
+        .join(parents, col("cluster_id") === col("__p_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("__p_label"), col("cluster_id")).as("cluster_id"),
+          // __changed rides along so convergence is read off the already
+          // materialized checkpoint — no extra join-and-count pass.
+          (coalesce(col("__p_label"), col("cluster_id")) < col("__old")).as("__changed"))
         .localCheckpoint()
       converged = next.filter(col("__changed")).limit(1).count() == 0
       labels = next.drop("__changed")
       iter += 1
     }
     edges.unpersist()
+    require(converged,
+      s"clusterPairs: not converged after $maxIter rounds — raise maxIter " +
+        "(partial labels would be WRONG clusters, not approximations). The loop " +
+        "exits on the first no-change round, so a generous cap costs nothing.")
     labels
       .withColumn("is_representative", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")

@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet == Set(10L))
   }
 
+  test("cluster propagation converges on a path far longer than the round budget") {
+    // A 200-node path has diameter 199: plain min-propagation inside the
+    // default 10 rounds would stop at WRONG labels (the round-3 sf0.1
+    // oracle caught exactly this); pointer jumping must close it in
+    // O(log n) rounds. Worst-case orientation: the min id at one end.
+    val n = 200
+    val docs = (0 until n).map(i => (i.toLong, "x")).toDF("doc_id", "text")
+    val path = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterPairs(docs, path).collect()
+      .map(r => r.getAs[Long]("cluster_id")).toSet
+    assert(out == Set(0L), s"chain did not collapse to one cluster: $out")
+  }
+
   test("contamination: shared 8-grams are found with the right fraction") {
     // bench doc 100: 9 words = 2 distinct 8-grams. train doc 1 embeds the
     // first 8 words (1 shared gram); train doc 2 is disjoint.
