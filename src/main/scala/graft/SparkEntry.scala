@@ -611,7 +611,42 @@ object SparkEntry {
     }),
     // Distribution windows: ntile / percent_rank / cume_dist.
     "q98_rank_distributions" -> ((s, d) =>
-      Relational.rankDistributions(Tables.orders(s, d))))
+      Relational.rankDistributions(Tables.orders(s, d))),
+    // Value windows over an explicit full frame: first/last/nth_value need
+    // ROWS BETWEEN ... UNBOUNDED FOLLOWING (the default frame stops at
+    // CURRENT ROW, a classic silent-wrong-answer trap for last_value).
+    "q99_value_windows" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_vw")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  first_value(o_totalprice) OVER w AS cheapest,
+          |  last_value(o_totalprice) OVER w AS priciest,
+          |  nth_value(o_totalprice, 2) OVER w AS second_cheapest
+          |FROM graft_orders_vw
+          |WINDOW w AS (PARTITION BY o_orderstatus
+          |             ORDER BY o_totalprice, o_orderkey
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+    // LATERAL join: per-region top-2 nations by customer count through a
+    // correlated derived table with ORDER BY + LIMIT — the SQL-standard
+    // form of grouped top-k (Catalyst decorrelates it; the DSL equivalent
+    // is q11's window-rank filter).
+    "q100_lateral_topn" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("graft_region_lt")
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_lt")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_lt")
+      s.sql(
+        """SELECT r_name, n_name, n_customers
+          |FROM graft_region_lt, LATERAL (
+          |  SELECT n_name, COUNT(*) AS n_customers
+          |  FROM graft_nation_lt JOIN graft_customer_lt ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = r_regionkey
+          |  GROUP BY n_name
+          |  ORDER BY n_customers DESC, n_name
+          |  LIMIT 2)
+          |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1469,5 +1504,25 @@ object SparkEntry {
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q99_value_windows" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS cheapest,
+        |  last_value(o_totalprice) OVER w AS priciest,
+        |  nth_value(o_totalprice, 2) OVER w AS second_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q100_lateral_topn" ->
+      """SELECT r_name, n_name, n_customers
+        |FROM region, LATERAL (
+        |  SELECT n_name, COUNT(*) AS n_customers
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY n_customers DESC, n_name
+        |  LIMIT 2)
+        |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
 }
