@@ -212,7 +212,7 @@ case class L2Normalize(child: Expression)
          |  final double $norm = java.lang.Math.sqrt($ss);
          |  for (int $i = 0; $i < $n; $i++) { $buf[$i] = $buf[$i] / $norm; }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($buf);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($buf);
        """.stripMargin
     })
 

@@ -103,6 +103,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(df(2).isNullAt(1))
   }
 
+  test("L2Normalize + NormalizedCosineToDot stay codegen'd: fallbacks fail loudly") {
+    // Two layers of silent degradation exist: whole-stage codegen can fall
+    // back to per-operator execution (spark.sql.codegen.fallback), and each
+    // projection can fall back to interpreted mode
+    // (spark.sql.codegen.factoryMode). Round 3 shipped a Janino-invalid
+    // qualifier in L2Normalize.doGenCode that only ever surfaced as a WARN;
+    // pin both escape hatches shut so that class of bug is a test failure.
+    val overrides = Seq(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val emb = Tables.embeddings(spark, sf).limit(10)
+      // Bare l2_normalize projection (exercises doGenCode directly).
+      val norms = emb.select(l2_normalize(col("embedding")).as("n")).collect()
+      assert(norms.nonEmpty && norms.forall { r =>
+        math.abs(r.getSeq[Double](0).map(x => x * x).sum - 1.0) < 1e-9
+      })
+      // The rewritten DotProduct(L2Normalize, L2Normalize) hot path.
+      val sims = emb.select(
+        cosine_similarity(l2_normalize(col("embedding")), l2_normalize(col("embedding"))).as("c"))
+        .collect()
+      assert(sims.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("SQL query through a fresh session gets the rule too") {
     val fresh = spark.newSession()
     Tables.embeddings(fresh, sf).limit(50).createOrReplaceTempView("ext_emb")

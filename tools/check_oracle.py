@@ -75,6 +75,25 @@ def main() -> int:
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
+        # Driver-parity dtype check: the driver's hash is dtype-sensitive
+        # (round 3's q61 red row was DuckDB HUGEINT->float64 vs Spark
+        # BIGINT, values identical). Flag kind mismatches BEFORE norm()
+        # erases them — FAIL when the column is null-free (a real parity
+        # break), WARN when nulls could explain a float upcast.
+        raw_g = got.reindex(sorted(got.columns), axis=1)
+        raw_w = want.reindex(sorted(want.columns), axis=1)
+        for c in set(raw_g.columns) & set(raw_w.columns):
+            gk, wk = raw_g[c].dtype.kind, raw_w[c].dtype.kind
+            num = {"i", "u", "f"}
+            if gk != wk and (gk in num) and (wk in num) and not (gk in "iu" and wk in "iu"):
+                if raw_g[c].isna().any() or raw_w[c].isna().any():
+                    print(f"  WARN {name}: col '{c}' dtype kind spark={gk} oracle={wk} (nullable)")
+                else:
+                    failures.append((name, f"dtype parity: col '{c}' spark kind={gk} oracle kind={wk} "
+                                           f"(driver hash is dtype-sensitive; CAST the oracle column)"))
+                    break
+        if failures and failures[-1][0] == name:
+            continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             failures.append((name, f"columns differ: spark={list(g.columns)} oracle={list(w.columns)}"))
