@@ -8,25 +8,60 @@ import org.apache.spark.sql.functions._
   * budget enforcement over a grouped corpus. */
 object Curation {
 
+  /** Scale-safe per-source running token total — a two-level prefix sum
+    * replacing the naive corpus-wide `Window.partitionBy(source)` cumsum,
+    * whose parallelism is capped at #sources (with 5 sources, a 100 TB
+    * corpus would serialize through 5 window tasks).
+    *
+    * Level 1: range-partition by (source, doc_id) into `slices` contiguous
+    * slices, then compute the running sum INSIDE each slice with a window
+    * keyed by (slice, source) — serial chains are bounded by slice size,
+    * so parallelism scales with the data, not with #sources. Level 2: the
+    * per-(slice, source) totals — at most slices x #sources tiny rows —
+    * get their own prefix sum over slice order and are broadcast back as
+    * per-slice starting offsets; a map-side add finishes the global
+    * running sum. Range partitioning keeps slice order consistent with
+    * (source, doc_id) order, so the result is exactly the one-window
+    * answer (asserted hash-equal in CurationSpec, plan shape in PlanSpec). */
+  private def perSourceRunningTotal(tokenized: DataFrame): DataFrame = {
+    val slices = tokenized.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = tokenized
+      .repartitionByRange(slices, col("source"), col("doc_id"))
+      .withColumn("__slice", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__slice"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(col("n_tokens")).over(wLocal))
+    // Tiny frame: one row per (slice, source). Its window IS partitioned by
+    // source alone, which is fine at slices x #sources rows — PlanSpec
+    // checks the full-data window is the (slice, source) one.
+    val wOffset = Window.partitionBy(col("source")).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__slice"), col("source"))
+      .agg(sum(col("n_tokens")).as("__slice_total"))
+      .withColumn("__offset", coalesce(sum(col("__slice_total")).over(wOffset), lit(0L)))
+      .select(col("__slice"), col("source"), col("__offset"))
+    local
+      .join(broadcast(offsets), Seq("__slice", "source"))
+      .withColumn("cum_tokens", col("__local") + col("__offset"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-source token budget cap — the mixture-control primitive of
     * training-data curation ("at most N tokens from each source"): within
     * every source, documents are admitted in deterministic priority order
     * (ascending doc_id) while the running token total stays within
     * `maxTokensPerSource`; the rest are dropped.
     *
-    * One window over (source, doc_id) — a single shuffle keyed by source;
-    * skew is bounded by the largest source (pre-split giant sources
-    * upstream if one dominates). Greedy-prefix semantics are intentional:
-    * the admitted set is stable under corpus growth (new higher-id docs
-    * never evict earlier ones), which keeps incremental curation runs
-    * reproducible. */
+    * Running total via [[perSourceRunningTotal]]'s two-level prefix sum —
+    * no per-source serialization at scale. Greedy-prefix semantics are
+    * intentional: the admitted set is stable under corpus growth (new
+    * higher-id docs never evict earlier ones), which keeps incremental
+    * curation runs reproducible. */
   def tokenBudgetCap(documents: DataFrame, maxTokensPerSource: Long): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("doc_id"), col("source"),
-        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val tokenized = documents.select(col("doc_id"), col("source"),
+      size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+    perSourceRunningTotal(tokenized)
       .filter(col("cum_tokens") <= maxTokensPerSource)
       .orderBy("doc_id")
   }
@@ -68,16 +103,14 @@ object Curation {
     * Layout is a pure function of (source, doc_id) order, so reruns and
     * engines agree exactly; arithmetic is integer-only (`div`/`pmod` on
     * the cumulative token count — no float rounding at corpus-scale
-    * offsets). One window shuffle keyed by source, same skew posture as
-    * [[tokenBudgetCap]]. */
+    * offsets). Running total via [[perSourceRunningTotal]]'s two-level
+    * prefix sum (exclusive form = inclusive minus the row's own count). */
   def packSequences(documents: DataFrame, seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents
-      .select(col("doc_id"), col("source"),
-        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val tokenized = documents.select(col("doc_id"), col("source"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    perSourceRunningTotal(tokenized)
+      .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_before div $seqLen").as("start_seq"),
         pmod(col("cum_before"), lit(seqLen.toLong)).as("start_offset"),

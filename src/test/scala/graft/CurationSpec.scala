@@ -81,6 +81,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("two-level prefix sum equals the one-window cumulative sum exactly") {
+    // The scale-safe running total (range-slice partials + broadcast
+    // offsets) must be value-identical to the textbook
+    // Window.partitionBy(source) formulation it replaced — on the real
+    // fixture AND under adversarial physical layouts.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val documents = Tables.documents(spark, sf)
+    val naiveW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = documents
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .filter(col("cum_tokens") <= 1000L)
+      .orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val twoLevel = Curation.tokenBudgetCap(documents, 1000L)
+      .collect().map(_.toSeq).toSeq
+    assert(twoLevel == naive, "two-level prefix sum diverged from the one-window answer")
+    // Layout independence: a hostile repartition must not change anything.
+    val reparted = Curation.tokenBudgetCap(documents.repartition(7), 1000L)
+      .collect().map(_.toSeq).toSeq
+    assert(reparted == naive, "prefix sum depends on input partitioning")
+  }
+
   test("mixture sampling is deterministic (two runs agree row-for-row)") {
     val d = docs(0 until 50, "s")
     val a = Curation.mixtureSample(d, Map("s" -> 130)).collect().toSeq

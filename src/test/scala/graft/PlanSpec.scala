@@ -180,4 +180,23 @@ class PlanSpec extends SparkSpec {
     val joinIdx = lines.indexWhere(l => l.contains("Join") || l.contains("join"))
     assert(filterIdx >= 0 && joinIdx >= 0)
   }
+
+  test("q48/q76 prefix sums are two-level: no corpus-wide window keyed by source alone") {
+    // The scale contract of Curation.perSourceRunningTotal: the full-data
+    // window is partitioned by (__slice, source) — parallelism scales with
+    // data, not #sources. A window spec of [source] ordered by [doc_id]
+    // (the naive formulation, whose parallelism is capped at #sources)
+    // must never reappear. The tiny per-(slice, source)-totals window IS
+    // partitioned by source but ordered by __slice, so the regex below
+    // distinguishes the two precisely.
+    val naiveWindow = """\], \[source#\d+\], \[doc_id#\d+""".r
+    for (q <- Seq("q48_token_budget", "q76_sequence_pack")) {
+      val p = plan(q)
+      assert(p.contains("__slice"), s"$q: two-level prefix sum slice key missing:\n$p")
+      assert(naiveWindow.findFirstIn(p).isEmpty,
+        s"$q: corpus-wide window partitioned by source alone survives:\n$p")
+      // Offsets side must come back as a broadcast, not another shuffle join.
+      assert(p.contains("BroadcastHashJoin"), s"$q: offsets join not broadcast:\n$p")
+    }
+  }
 }
