@@ -88,25 +88,35 @@ object BpeTrain {
     * training — and documents join against that word→token-count map.
     * At 100 TB the expensive symbolic work is vocab-sized; the corpus
     * pays one explode + one equi-join on the word (Catalyst broadcasts
-    * a bounded vocab). */
+    * a bounded vocab).
+    *
+    * Plan depth is bounded: each merge stacks one `aggregate(...)`
+    * expression onto the vocab projection, so every
+    * `checkpointEveryMerges` (16) merges the frame is localCheckpoint'ed
+    * — the [[learnMerges]] discipline. Without this, a realistic 30k-merge
+    * vocabulary would blow up analysis/codegen on a ~30k-deep expression
+    * tree long before data size matters; with it, depth stays <= 16
+    * regardless of merge count (BpeTrainSpec drives 200 merges through). */
   def bpeEncode(docs: DataFrame, merges: DataFrame,
       textCol: String = "text"): DataFrame = {
+    val checkpointEveryMerges = 16
     val ranked = merges.orderBy("rank")
       .select("left", "right", "merged").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     val words = docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-    val vocabEncoded = ranked.foldLeft(
+    val vocabEncoded = ranked.zipWithIndex.foldLeft(
       words.select("w").distinct()
         .withColumn("symbols",
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))) {
-      case (df, (l, r, m)) =>
-        df.withColumn("symbols",
+      case (df, ((l, r, m), i)) =>
+        val next = df.withColumn("symbols",
           expr(s"""aggregate(symbols, CAST(array() AS array<string>), (acc, x) ->
             CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)}
                  THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(m)}))
                  ELSE concat(acc, array(x)) END)"""))
+        if ((i + 1) % checkpointEveryMerges == 0) next.localCheckpoint(true) else next
     }.select(col("w"), size(col("symbols")).as("n_word_tokens"))
     words.join(vocabEncoded, "w")
       .groupBy("doc_id")

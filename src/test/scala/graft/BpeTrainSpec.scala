@@ -67,6 +67,36 @@ class BpeTrainSpec extends SparkSpec {
     assert(full.getLong(0) < chars)
   }
 
+  test("bpeEncode handles a 200-merge table with bounded plan depth") {
+    // Round 3's encoder stacked one aggregate(...) expression per merge on
+    // a single projection — fine at 20 merges, fatal at a realistic 30k
+    // vocabulary (analysis/codegen blow up on the expression tree). The
+    // checkpoint-every-16 discipline makes depth independent of merge
+    // count; a 200-merge synthetic table (12 checkpoints) proves it runs,
+    // and the no-op merges leave the token count at the char count.
+    val merges = (1 to 200)
+      .map(i => (i, "L" + i, "R" + i, "L" + i + "R" + i))
+      .toDF("rank", "left", "right", "merged")
+    val docs = Seq((1L, "abc de"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = BpeTrain.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+    // No synthetic pair matches real chars: every word stays fully split.
+    assert(out.toSeq == Seq((1L, 2L, 5L), (2L, 1L, 3L)))
+
+    // And a REAL learned table still encodes correctly after the change
+    // (learning stops early at ~7 merges once every word is one symbol).
+    val classic = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val learned = BpeTrain.learnMerges(classic, numMerges = 20)
+    val encoded = BpeTrain.bpeEncode(classic, learned)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    // 20 merges on this tiny corpus fuse every word to one token.
+    assert(encoded == 36L, s"expected 36 single-token words, got $encoded")
+  }
+
   test("corpus-scale run: deterministic and ranked by frequency") {
     val docs = Tables.documents(spark, sf)
     val a = BpeTrain.learnMerges(docs, numMerges = 5).collect()
