@@ -124,7 +124,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Sidecar copy: the driver's round artifact stores a bounded log tail,
+    // and with 100 queries the single JSON line can outgrow it (BENCH_r03
+    // lost its head, leaving parsed=null). A file survives any tail length.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
