@@ -47,41 +47,68 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     trainingSetAssembly(spark, "/root/testdata/sf0.001")
 
+  /** Fingerprint of the embeddings corpus under `d`: sorted
+    * (name, length, mtime) of every data file. Memoized indexes key on it
+    * so a rewritten corpus at the SAME path invalidates the cache instead
+    * of serving stale probes (round-3 defect). One FS listing per probe —
+    * noise next to the probe itself, and it goes through the Hadoop
+    * FileSystem API so HDFS/S3 paths fingerprint the same way. */
+  private def corpusFingerprint(s: SparkSession, d: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "absent"
+    else {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      }
+      java.util.Objects.hash(entries.sorted.mkString("|")).toString
+    }
+  }
+
   /** Session-lifetime IVF index per corpus dir (see q34). Keyed by the
     * building session too: an index holds DataFrames bound to one session,
     * so a cached entry must never be served to a different (or restarted)
-    * session — it is rebuilt instead. */
-  private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Similarity.IvfIndex)]
-  private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    * session — it is rebuilt instead. Also keyed by corpus fingerprint:
+    * a rewrite at the same path rebuilds rather than serving stale cells. */
+  private val ivfIndexes = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, String, Similarity.IvfIndex)]
+  private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex = {
+    val fp = corpusFingerprint(s, d)
     ivfIndexes.get(d) match {
       // The assignment must still be cached: anyone calling
       // spark.catalog.clearCache() silently unpersists it, and serving a
       // de-cached index would make every probe re-scan + re-assign the
       // corpus (the cost the index exists to amortize).
-      case Some((owner, idx)) if (owner eq s) &&
+      case Some((owner, ofp, idx)) if (owner eq s) && ofp == fp &&
           idx.assigned.storageLevel != org.apache.spark.storage.StorageLevel.NONE => idx
       case _ =>
         val idx = Similarity.buildIvf(Tables.embeddings(s, d))
-        ivfIndexes.put(d, (s, idx))
+        ivfIndexes.put(d, (s, fp, idx))
         idx
     }
+  }
 
   /** Session-lifetime PQ codebooks + encoded corpus per dir (see q92) —
-    * the index contract again: train/encode once, probe many times. */
+    * the index contract again: train/encode once, probe many times; same
+    * fingerprint-based invalidation as [[ivfIndex]]. */
   private val pqIndexes = scala.collection.concurrent.TrieMap
-    .empty[String, (SparkSession, Similarity.PqCodebooks, DataFrame)]
-  private def pqIndex(s: SparkSession, d: String): (Similarity.PqCodebooks, DataFrame) =
+    .empty[String, (SparkSession, String, Similarity.PqCodebooks, DataFrame)]
+  private def pqIndex(s: SparkSession, d: String): (Similarity.PqCodebooks, DataFrame) = {
+    val fp = corpusFingerprint(s, d)
     pqIndexes.get(d) match {
-      case Some((owner, cb, enc)) if (owner eq s) &&
+      case Some((owner, ofp, cb, enc)) if (owner eq s) && ofp == fp &&
           enc.storageLevel != org.apache.spark.storage.StorageLevel.NONE => (cb, enc)
       case _ =>
         val cb = Similarity.pqTrain(Tables.embeddings(s, d))
         val enc = Similarity.pqEncode(Tables.embeddings(s, d), cb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pqIndexes.put(d, (s, cb, enc))
+        pqIndexes.put(d, (s, fp, cb, enc))
         (cb, enc)
     }
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

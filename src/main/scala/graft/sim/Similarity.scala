@@ -344,7 +344,11 @@ object Similarity {
       val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
       Lloyd.fit(sub, k, lloydIters).map(_._2)
     }
-    PqCodebooks(m, k, dsub, books)
+    // Lloyd.fit caps centroids at the sample size, so record the ACTUAL
+    // per-subspace codebook size: with requested k > |sample|, keeping the
+    // requested k would send pqEncode's argmin and pqTopK's LUT loop past
+    // the end of the books.
+    PqCodebooks(m, books.head.length, dsub, books)
   }
 
   /** Attach a `codes` column (array of M small ints): per subspace,

@@ -253,4 +253,47 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     // (candidates pass the exact cosine >= 0.9 filter before being emitted).
     assert((want -- got).isEmpty, s"banded join missed planted pairs: ${want -- got}")
   }
+
+  test("PQ trained on a corpus smaller than k still encodes and searches") {
+    // Lloyd.fit returns min(k, |sample|) centroids; the codebooks must
+    // record that actual size or encode/search index past the books.
+    import spark.implicits._
+    val tiny = (0L until 5L).map { i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat / 10f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqTrain(tiny, m = 8, k = 16)
+    assert(cb.k == 5, s"codebook k should equal the 5-row sample, got ${cb.k}")
+    val enc = Similarity.pqEncode(tiny, cb)
+    val out = Similarity.pqTopK(enc, cb, 0, 3).collect()
+    assert(out.length == 3 && out.forall(_.getLong(0) != 0L))
+  }
+
+  test("memoized IVF and PQ indexes rebuild when the corpus at a path is rewritten") {
+    // Round-3 defect: SparkEntry's index caches keyed on the dir path only,
+    // so rewriting the corpus at the same path within one session served a
+    // stale index. The fingerprint key must catch the rewrite.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toString
+    val emb = Tables.embeddings(spark, sf)
+    def neighborIds(q: String) =
+      SparkEntry.queries(q)(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // Corpus A: vec_ids [0, 60). Every neighbor of query vec 0 is < 60.
+    emb.filter(col("vec_id") < 60).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val ivfA = neighborIds("q34_ivf_topk")
+    val pqA = neighborIds("q92_pq_topk")
+    assert(ivfA.nonEmpty && ivfA.forall(id => id > 0 && id < 60))
+    assert(pqA.nonEmpty && pqA.forall(_ < 60))
+
+    // Corpus B at the SAME path: vec 0 plus vec_ids [60, 120). A stale
+    // index would keep returning ids < 60; a fresh one cannot.
+    emb.filter(col("vec_id") === 0 || (col("vec_id") >= 60 && col("vec_id") < 120))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ivfB = neighborIds("q34_ivf_topk")
+    val pqB = neighborIds("q92_pq_topk")
+    assert(ivfB.nonEmpty && ivfB.forall(id => id >= 60 && id < 120),
+      s"stale IVF index served after corpus rewrite: $ivfB")
+    assert(pqB.nonEmpty && pqB.forall(id => id == 0 || (id >= 60 && id < 120)),
+      s"stale PQ index served after corpus rewrite: $pqB")
+  }
 }
