@@ -292,10 +292,12 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
         ("atMillis" -> System.currentTimeMillis())
     val line = JsonMethods.compact(JsonMethods.render(entry)) + "\n"
     // Local/HDFS-style appends when supported; fall back to read+rewrite
-    // (object stores): history files are small by construction.
+    // (object stores): history files are small by construction. Only the
+    // actual "append not supported / not possible" signals route to the
+    // fallback — fatal errors (OOM, interrupts) must propagate.
     val out =
       try fs.append(p)
-      catch { case _: Throwable =>
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
         val prev =
           if (fs.exists(p)) {
             val in = fs.open(p)

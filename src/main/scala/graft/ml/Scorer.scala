@@ -122,9 +122,15 @@ object ScoringModel {
       case _: java.lang.Float => FloatType
       case _: java.lang.Boolean => BooleanType
       case _: java.math.BigDecimal => DecimalType(38, 18)
+      case _: scala.math.BigDecimal => DecimalType(38, 18)
       case _: java.sql.Timestamp => TimestampType
       case _: java.sql.Date => DateType
-      case _ => StringType // strings and nulls
+      case null => throw new IllegalArgumentException(
+        "scoreOne input values must be non-null: a null carries no runtime " +
+          "type, so the single-row frame would get a wrong (string) schema " +
+          "and fail later inside the pipeline with a confusing cast error. " +
+          "Pass a typed value, or drop the column and let the lookup fill it.")
+      case _ => StringType
     }
   }
 

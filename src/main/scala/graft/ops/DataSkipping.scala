@@ -39,8 +39,26 @@ object DataSkipping {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sorted `name:length` fingerprint of the directory's data files —
+    * what the manifest describes. Parquet rewrites produce fresh random
+    * part names, so any add/remove/rewrite changes this listing. */
+  private def dataFileListing(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(dirPath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => s"${st.getPath.getName}:${st.getLen}")
+      .sorted
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** Build + persist the manifest sidecar for `dir`. Call after every
-    * rewrite of the directory (layout jobs, compaction). */
+    * rewrite of the directory (layout jobs, compaction). The header line
+    * records the directory's data-file listing so a stale manifest is a
+    * loud read-time error, not a silent wrong answer. */
   def writeManifest(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     val stats = fileStats(spark, dir, cols)
     // JSON-lines via Spark's own JSON writer to a temp dir, then collapse
@@ -48,12 +66,18 @@ object DataSkipping {
     val rows = stats.toJSON.collect()
     val p = new org.apache.hadoop.fs.Path(s"$dir/$ManifestFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val header = dataFileListing(fs, p.getParent)
+      .map(jsonStr).mkString("{\"graft_skipping_files\":[", ",", "]}")
     val out = fs.create(p, true)
-    out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.write(((header +: rows).mkString("\n") + "\n").getBytes("UTF-8"))
     out.close()
   }
 
-  /** The manifest as a DataFrame (file, min_c, max_c, ...). */
+  /** The manifest as a DataFrame (file, min_c, max_c, ...). Fails loudly
+    * when the directory's data files no longer match the header listing:
+    * pruning against a stale manifest silently drops files added or
+    * rewritten since writeManifest, which is a wrong answer, not a
+    * performance detail. */
   def readManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(s"$dir/$ManifestFile")
@@ -61,7 +85,19 @@ object DataSkipping {
     require(fs.exists(p), s"no skipping manifest at $p — run writeManifest first")
     val in = fs.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    spark.read.json(raw.split("\n").filter(_.nonEmpty).toSeq.toDS())
+    val lines = raw.split("\n").filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head.contains("\"graft_skipping_files\""),
+      s"manifest at $p predates staleness tracking — rerun writeManifest")
+    val recorded = spark.read.json(Seq(lines.head).toDS())
+      .select(explode(col("graft_skipping_files")))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val current = dataFileListing(fs, p.getParent)
+    require(recorded == current,
+      s"stale skipping manifest at $p: directory changed since writeManifest " +
+        s"(recorded ${recorded.size} files, found ${current.size}; " +
+        s"added=${(current.toSet -- recorded).take(3)} removed=${(recorded.toSet -- current).take(3)}) " +
+        "— rerun writeManifest after every rewrite of the directory")
+    spark.read.json(lines.tail.toDS())
   }
 
   /** Closed-interval range predicates per indexed column: `col -> (lo, hi)`. */

@@ -57,6 +57,22 @@ class DataSkippingSpec extends SparkSpec {
     assert(out.columns.contains("l_quantity")) // schema preserved
   }
 
+  test("a stale manifest fails loudly instead of silently dropping new files") {
+    val dir = zDir
+    // Drift the directory after writeManifest: add one more data file.
+    li.limit(10).write.mode("append").parquet(dir)
+    val err = intercept[IllegalArgumentException] {
+      DataSkipping.prunedRead(spark, dir, Map("l_partkey" -> (1L, 60L)))
+    }
+    assert(err.getMessage.contains("stale skipping manifest"), err.getMessage)
+    // Re-running writeManifest heals it and the new rows are visible.
+    DataSkipping.writeManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+    val full = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(1L, 60L)).count()
+    val pruned = DataSkipping.prunedRead(spark, dir, Map("l_partkey" -> (1L, 60L))).count()
+    assert(pruned == full)
+  }
+
   test("unindexed columns are rejected with a clear error") {
     val dir = zDir
     val err = intercept[IllegalArgumentException] {

@@ -127,6 +127,17 @@ class TrainerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("scoreOne rejects null input values with a clear error") {
+    // A null carries no runtime type; silently typing it as string would
+    // build a mis-typed single-row frame that fails deep inside the
+    // pipeline with a confusing cast error.
+    val scoring = ScoringModel(model, lookups)
+    val err = intercept[IllegalArgumentException] {
+      scoring.scoreOne(store, Map("customer_id" -> 1, "product_id" -> null))
+    }
+    assert(err.getMessage.contains("non-null"), err.getMessage)
+  }
+
   test("scoreOne refuses point-in-time lookups with a clear error") {
     val timed = lookups.map(_.copy(timestampLookupKey = Some("ts")))
     val err = intercept[IllegalArgumentException] {
