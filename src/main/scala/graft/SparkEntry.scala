@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{abs, col, count, expr, lit, pmod, round}
 
 import graft.dedup.Dedup
 import graft.fs.{CatalogFeatureStore, FeatureLookup, FeatureStore, LookupHint, TrainingSet}
@@ -673,6 +673,48 @@ object SparkEntry {
           |  ORDER BY n_customers DESC, n_name
           |  LIMIT 2)
           |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
+    }),
+    // Persisted-IVF cold path: save the index (assignments partitioned by
+    // cell + centroid sidecar), load it back through a FRESH disk read, and
+    // probe. Exercises the cross-session index contract the in-memory
+    // memoization only approximates; probes on the loaded index are
+    // partition-pruned scans. Rows-only (ANN, like q34).
+    "q101_ivf_cold_lookup" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cold_${System.nanoTime()}"
+      Similarity.saveIvf(ivfIndex(s, d), dir)
+      Similarity.ivfTopK(Similarity.loadIvf(s, dir), 0, 20)
+    }),
+    // Exact vs t-digest approximate grouped percentiles side by side — the
+    // documented q51 scale path actually exercised, with the observed
+    // relative error reported per group. Rows-only; SketchesSpec asserts
+    // the error bound.
+    "q102_percentile_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).as("p50_exact"),
+          round(expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 10000)"), 6).as("p50_approx"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)"), 6).as("p95_exact"),
+          round(expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.95, 10000)"), 6).as("p95_approx"))
+        .withColumn("p50_rel_err",
+          round(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"), 6))
+        .withColumn("p95_rel_err",
+          round(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact"), 6))
+        .orderBy("l_returnflag")
+    }),
+    // N-dimensional ZORDER BY (3 columns): clustered rewrite + selective
+    // 3-D box scan. Values must be untouched by the layout — the oracle
+    // runs the same box on the ORIGINAL table.
+    "q103_zorder_nd_scan" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_nd_${System.nanoTime()}"
+      graft.ops.Layout.zorderWriteN(Tables.lineitem(s, d),
+        Seq("l_partkey", "l_suppkey", "l_quantity"), dir, 16)
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(1, 100) && col("l_suppkey").between(1, 5) &&
+          col("l_quantity").between(1, 25))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
     }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
@@ -1551,5 +1593,14 @@ object SparkEntry {
         |  GROUP BY n_name
         |  ORDER BY n_customers DESC, n_name
         |  LIMIT 2)
-        |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
+        |ORDER BY r_name, n_customers DESC, n_name""".stripMargin,
+    // Oracle reads the ORIGINAL table: the N-d clustered rewrite must be
+    // value-identical, layout being the only difference (q85's contract,
+    // one more dimension).
+    "q103_zorder_nd_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 5
+        |  AND l_quantity BETWEEN 1 AND 25
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin)
 }

@@ -23,4 +23,21 @@ class SketchesSpec extends SparkSpec {
       .map(_.getAs[Long]("hll_estimate")).max
     assert(all.head.getAs[Long]("hll_estimate") >= perSourceMax)
   }
+
+  test("q102: approx grouped percentiles stay within 1% of exact") {
+    // The q51 scale path measured, not assumed: at accuracy=10000 the
+    // approx_percentile sketch's rank error is 1/10000, which on this
+    // distribution must keep the VALUE within 1% relative error of exact
+    // (the query reports the observed error per group; a distribution
+    // change that breaks the bound fails here).
+    val out = SparkEntry.queries("q102_percentile_approx")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val flag = r.getString(0)
+      Seq("p50_rel_err", "p95_rel_err").foreach { c =>
+        val err = r.getAs[Double](c)
+        assert(err <= 0.01, s"group $flag: $c = $err exceeds 1%")
+      }
+    }
+  }
 }
