@@ -181,6 +181,14 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx >= 0 && joinIdx >= 0)
   }
 
+  test("q70 group sample: rank limit pushed to WindowGroupLimit before the source shuffle") {
+    // groupSample windows by source (low cardinality), but the rank<=k
+    // filter must become a map-side WindowGroupLimit so each task forwards
+    // at most k rows per source into the window shuffle — per-source
+    // serial work is then bounded by partitions x k, not corpus size.
+    assertPlan("q70_group_sample", mustContain = Seq("WindowGroupLimit"))
+  }
+
   test("q48/q76 prefix sums are two-level: no corpus-wide window keyed by source alone") {
     // The scale contract of Curation.perSourceRunningTotal: the full-data
     // window is partitioned by (__slice, source) — parallelism scales with
