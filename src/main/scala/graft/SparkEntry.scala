@@ -715,7 +715,14 @@ object SparkEntry {
           col("l_quantity").between(1, 25))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
-    }))
+    }),
+    // q66's documented 100 TB path actually exercised: HLL-sketch distinct
+    // counts (rsd 5%) instead of the 6-way Expand the exact form pays —
+    // one pass, mergeable partials, no row multiplication. Rows-only;
+    // CatalogStoreSpec bounds the estimates against the exact profile and
+    // asserts the plan carries no Expand.
+    "q104_profile_approx" -> ((s, d) =>
+      Validation.profile(Tables.orders(s, d), ProfileColumns, exactDistinct = false)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
