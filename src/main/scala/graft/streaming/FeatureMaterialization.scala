@@ -48,14 +48,15 @@ object FeatureMaterialization {
     * across batches), cast to double only on output. */
   def userTotalsMaterialized(spark: SparkSession, sfDir: String,
       store: FeatureStore, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ss = EventStreams.streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Register the target table up front (empty, schema-only) so the
     // stream upserts into a declared PK contract rather than inventing one.
     store.createTable(TotalsTable, Seq("user_id"),
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], totalsSchema),
       "per-user event totals, continuously refreshed from the event stream")
 
-    val reader = spark.readStream
+    val reader = ss.readStream
       .schema(EventStreams.eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
