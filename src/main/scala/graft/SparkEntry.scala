@@ -722,7 +722,12 @@ object SparkEntry {
     // CatalogStoreSpec bounds the estimates against the exact profile and
     // asserts the plan carries no Expand.
     "q104_profile_approx" -> ((s, d) =>
-      Validation.profile(Tables.orders(s, d), ProfileColumns, exactDistinct = false)))
+      Validation.profile(Tables.orders(s, d), ProfileColumns, exactDistinct = false)),
+    // Bigram PMI collocations: corpus-level association mining (phrase
+    // induction / collocation extraction). Integer counts + one ln — the
+    // q78 precedent shows ln + round(6) is oracle-portable.
+    "q105_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiCollocations(Tables.documents(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1609,5 +1614,27 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 5
         |  AND l_quantity BETWEEN 1 AND 25
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+    // Same token convention as q48 (single-space split); DuckDB lists are
+    // 1-based, so range(1, len) pairs ts[i] with ts[i+1].
+    "q105_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT unnest(ts) AS w FROM toks),
+        |uc AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n_tokens FROM uni),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS p
+        |  FROM toks WHERE len(ts) >= 2),
+        |pc AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_pair
+        |       FROM pairs GROUP BY 1, 2),
+        |ptot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM pc)
+        |SELECT w1, w2, n_pair,
+        |  round(ln(CAST(n_pair AS DOUBLE) * n_tokens * n_tokens
+        |        / (CAST(n_bigrams AS DOUBLE) * u1.n_w * u2.n_w)), 6) AS pmi
+        |FROM pc CROSS JOIN tot CROSS JOIN ptot
+        |JOIN uc u1 ON w1 = u1.w
+        |JOIN uc u2 ON w2 = u2.w
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
 }

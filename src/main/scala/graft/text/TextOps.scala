@@ -536,4 +536,42 @@ object TextOps {
           .as("jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Bigram PMI collocations — the classic corpus-analysis association
+    * measure (and the signal behind phrase-vocabulary induction):
+    * `pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2)))` with the pair probability
+    * over the corpus bigram total and unigram probabilities over the token
+    * total. `minCount` cuts the rare-pair noise PMI is notorious for
+    * (a pair seen once between two rare words maxes the score).
+    *
+    * Shape: two aggregations with map-side partial combines — one keyed by
+    * token (unigram counts), one by (w1, w2) (pair counts) — both with
+    * vocab-bounded outputs; the two scalar totals ride in as 1-row
+    * broadcasts; the PMI arithmetic is a map-side projection over the
+    * minCount-filtered pairs and the top-k is a TakeOrderedAndProject.
+    * The unigram lookups stay plain equi-joins (vocab can outgrow a
+    * broadcast at corpus scale — AQE promotes them when it fits). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val uniCounts = uni.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totalTokens = uni.agg(count(lit(1)).as("n_tokens"))
+    val pairs = toks.filter(size(col("toks")) >= 2).select(explode(expr(
+      "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+      .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val totalPairs = pairs.agg(count(lit(1)).as("n_bigrams"))
+    pairCounts
+      .filter(col("n_pair") >= minCount)
+      .join(uniCounts.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uniCounts.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(totalTokens))
+      .crossJoin(broadcast(totalPairs))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("n_tokens") * col("n_tokens") /
+          (col("n_bigrams").cast("double") * col("n_w1") * col("n_w2"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
 }

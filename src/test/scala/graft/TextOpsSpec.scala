@@ -340,4 +340,28 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.getAs[Long]("shared") == 2L)
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
+
+  test("PMI collocations: hand-computed score, minCount cut, association ordering") {
+    import spark.implicits._
+    // Corpus: "a b" x4, "a c" x1, "c c" x1. Tokens: a x5, b x4, c x3 (N=12).
+    // Bigrams: (a,b) x4, (a,c) x1, (c,c) x1 (B=6).
+    val docs = (Seq.fill(4)("a b") ++ Seq("a c", "c c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.text.TextOps.pmiCollocations(docs, minCount = 2, k = 10).collect()
+    // minCount=2 keeps only (a,b): pmi = ln((4/6) / ((5/12)*(4/12)))
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 4L)
+    val want = math.rint(math.log((4.0 / 6.0) / ((5.0 / 12.0) * (4.0 / 12.0))) * 1e6) / 1e6
+    assert(r.getDouble(3) == want, s"pmi ${r.getDouble(3)} != $want")
+    // With minCount=1 all three pairs appear: (a,b) = ln 4.8 leads, and
+    // PMI's rare-pair inflation shows in the tail — (c,c) and (a,c) were
+    // both seen ONCE, yet (c,c) = ln 2.67 outranks (a,c) = ln 1.6 purely
+    // because its words are rarer. That inflation is what minCount cuts.
+    val all = graft.text.TextOps.pmiCollocations(docs, minCount = 1, k = 10).collect()
+    assert(all.length == 3)
+    assert(all.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("c", "c"), ("a", "c")))
+    assert(all.map(_.getDouble(3)).toSeq == all.map(_.getDouble(3)).sorted.reverse.toSeq)
+  }
 }
