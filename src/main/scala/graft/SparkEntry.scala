@@ -727,7 +727,12 @@ object SparkEntry {
     // induction / collocation extraction). Integer counts + one ln — the
     // q78 precedent shows ln + round(6) is oracle-portable.
     "q105_pmi_collocations" -> ((s, d) =>
-      TextOps.pmiCollocations(Tables.documents(s, d))))
+      TextOps.pmiCollocations(Tables.documents(s, d))),
+    // Watermarked streaming dedup (dropDuplicatesWithinWatermark): at most
+    // one event per (user, type, hour), state expired by the watermark.
+    // The surviving ROW is arrival-order-dependent, so the oracle-stable
+    // output is the key set = the batch SELECT DISTINCT.
+    "q106_stream_wm_dedup" -> ((s, d) => EventStreams.watermarkDedupStream(s, d)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1636,5 +1641,12 @@ object SparkEntry {
         |JOIN uc u1 ON w1 = u1.w
         |JOIN uc u2 ON w2 = u2.w
         |WHERE n_pair >= 5
-        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // The batch key set: which row of each duplicate group the stream
+    // keeps is arrival-order-dependent, the key set is not.
+    "q106_stream_wm_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+        |FROM events
+        |ORDER BY user_id, event_type, hour""".stripMargin)
 }

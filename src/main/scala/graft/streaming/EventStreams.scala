@@ -241,6 +241,41 @@ object EventStreams {
     settle(spark, name, ss.table(name).orderBy("user_id", "session_start"))
   }
 
+  /** Watermarked streaming dedup via `dropDuplicatesWithinWatermark` —
+    * the bounded-state dedup that [[graft.streaming.DocumentStreams]]'
+    * timestamp-less corpus can only document: at most one event per
+    * (user, event_type, hour) survives, and the 2-hour watermark lets the
+    * engine EXPIRE a key's state once no earlier arrival can still appear
+    * — state is bounded by the watermark horizon × key rate, not stream
+    * length. WHICH row of a duplicate group survives is arrival-order-
+    * dependent (first wins), so the deterministic, carve-invariant result
+    * is the KEY SET — exactly the batch `SELECT DISTINCT` (every key's
+    * occurrences share an hour, and 2 h watermark ≥ the 1 h key span, so
+    * no key can ever re-emit; StreamingSpec also replays it multi-batch). */
+  def watermarkDedupStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = s"graft_stream_wmdedup_${runId.incrementAndGet()}"
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = ss.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val deduped = reader.parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .select(col("user_id"), col("event_type"), col("hour"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    settle(spark, name, ss.table(name).orderBy("user_id", "event_type", "hour"))
+  }
+
   /** Watermarked stream-stream interval join — the attribution workload:
     * each view event joined to the same user's purchase events landing
     * within one hour after it. Both sides carry event-time watermarks and

@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
     assert(multi == batchHashes)
   }
 
+  test("watermark dedup keeps exactly the distinct key set, even multi-batch") {
+    val batchKeys = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .distinct().orderBy("user_id", "event_type", "hour")
+      .collect().map(_.toSeq).toSeq
+
+    val single = EventStreams.watermarkDedupStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == batchKeys)
+
+    // Forced multi-batch — carved into CONTIGUOUS TIME slices, not by id:
+    // a watermarked stateful operator DROPS late rows, so replaying an
+    // out-of-time-order carving would silently lose keys (that's the
+    // semantics, not a bug). Time-ordered slices keep every row on-time
+    // while still forcing dedup state to persist across micro-batches for
+    // keys whose hour straddles a slice boundary.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm_multi").toString
+    val ev = Tables.events(spark, sf)
+    val sliced = ev.withColumn("__slice",
+      org.apache.spark.sql.functions.ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { i =>
+      val slice = sliced.filter(col("__slice") === i).drop("__slice")
+        .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to raw nanos
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    val multi = EventStreams.watermarkDedupStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    assert(multi == batchKeys)
+  }
+
   test("streaming tumbling windows equal the batch tumbling windows") {
     val streamed = EventStreams.tumblingHourlyStream(spark, sf)
       .select("window_start", "n_events", "sum_value")
