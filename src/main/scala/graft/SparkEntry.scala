@@ -732,7 +732,11 @@ object SparkEntry {
     // one event per (user, type, hour), state expired by the watermark.
     // The surviving ROW is arrival-order-dependent, so the oracle-stable
     // output is the key set = the batch SELECT DISTINCT.
-    "q106_stream_wm_dedup" -> ((s, d) => EventStreams.watermarkDedupStream(s, d)))
+    "q106_stream_wm_dedup" -> ((s, d) => EventStreams.watermarkDedupStream(s, d)),
+    // Gap-filled hourly resample with forward fill — the feature-store
+    // time-series primitive: dense per-user hour grid, zeros for empty
+    // hours, last observed hourly sum carried forward.
+    "q107_forward_fill" -> ((s, d) => Events.forwardFillHourly(Tables.events(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1648,5 +1652,24 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
         |FROM events
-        |ORDER BY user_id, event_type, hour""".stripMargin)
+        |ORDER BY user_id, event_type, hour""".stripMargin,
+    "q107_forward_fill" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value
+         |  FROM events WHERE user_id < 100),
+         |hourly AS (
+         |  SELECT user_id, hour, COUNT(*) AS n_events,
+         |    SUM(${dec("value")}) AS sum_value
+         |  FROM ev GROUP BY 1, 2),
+         |spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ev GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour
+         |  FROM spans)
+         |SELECT g.user_id, g.hour,
+         |  COALESCE(n_events, 0) AS n_events,
+         |  round(CAST(LAST_VALUE(sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.hour
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS filled_value
+         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+         |ORDER BY g.user_id, g.hour""".stripMargin)
 }

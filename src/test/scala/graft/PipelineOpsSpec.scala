@@ -140,4 +140,39 @@ class PipelineOpsSpec extends SparkSpec {
     val sliding = Events.slidingHourly(events)
     assert(sliding.agg(sum("n_events")).head().getLong(0) == 2 * events.count())
   }
+
+  test("forward fill: dense grid, zeros on gaps, last observation carried, hand-checked") {
+    import spark.implicits._
+    // User 1: events at 00:10 (v=2.5) and 03:40 (v=1.0) — hours 01 and 02
+    // are gaps that must appear with n_events=0 carrying 2.5 forward.
+    val ev = Seq(
+      (1L, "2024-01-01 00:10:00", 2.5),
+      (1L, "2024-01-01 03:40:00", 1.0),
+      (2L, "2024-01-01 05:00:00", 4.0))
+      .toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val out = Events.forwardFillHourly(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L, 2.5),
+      (1L, "2024-01-01 01:00:00.0", 0L, 2.5),
+      (1L, "2024-01-01 02:00:00.0", 0L, 2.5),
+      (1L, "2024-01-01 03:00:00.0", 1L, 1.0),
+      (2L, "2024-01-01 05:00:00.0", 1L, 4.0)))
+
+    // Fixture-level invariants: grid density (every user's span is fully
+    // covered, no holes) and event conservation.
+    val events = Tables.events(spark, sf)
+    val filled = Events.forwardFillHourly(events)
+    val perUser = filled.groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"), min("hour").as("h0"), max("hour").as("h1"),
+        sum("n_events").as("n_ev"))
+      .collect()
+    perUser.foreach { r =>
+      val hours = (r.getTimestamp(3).getTime - r.getTimestamp(2).getTime) / 3600000 + 1
+      assert(r.getLong(1) == hours, s"user ${r.getLong(0)}: grid has holes")
+    }
+    val total = events.filter(col("user_id") < 100).count()
+    assert(perUser.map(_.getLong(4)).sum == total)
+  }
 }
