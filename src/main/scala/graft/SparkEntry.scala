@@ -736,7 +736,11 @@ object SparkEntry {
     // Gap-filled hourly resample with forward fill — the feature-store
     // time-series primitive: dense per-user hour grid, zeros for empty
     // hours, last observed hourly sum carried forward.
-    "q107_forward_fill" -> ((s, d) => Events.forwardFillHourly(Tables.events(s, d))))
+    "q107_forward_fill" -> ((s, d) => Events.forwardFillHourly(Tables.events(s, d))),
+    // Spark 4 transformWithState (StatefulProcessor + named RocksDB-backed
+    // ValueState): q42's running totals through the modern arbitrary-state
+    // API — same batch GROUP BY oracle.
+    "q108_stream_tws" -> ((s, d) => EventStreams.userTotalsTransformWithState(s, d)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1671,5 +1675,10 @@ object SparkEntry {
          |    PARTITION BY g.user_id ORDER BY g.hour
          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS filled_value
          |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
-         |ORDER BY g.user_id, g.hour""".stripMargin)
+         |ORDER BY g.user_id, g.hour""".stripMargin,
+    // Identical contract to q42: the settled stream equals the batch totals.
+    "q108_stream_tws" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(${dec("value")}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

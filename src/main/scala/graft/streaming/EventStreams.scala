@@ -241,6 +241,70 @@ object EventStreams {
     settle(spark, name, ss.table(name).orderBy("user_id", "session_start"))
   }
 
+  /** Per-user running totals as a Spark 4 `StatefulProcessor` — the
+    * `transformWithState` replacement for [[userTotalsStateful]]'s
+    * `flatMapGroupsWithState`: named typed state registered against the
+    * processor handle instead of one opaque state value, TTL support, and
+    * a RocksDB-backed store requirement. Same exact-cents accumulation. */
+  private final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRec, UserTotals] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserRunningState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunningState]("totals",
+        org.apache.spark.sql.Encoders.product[UserRunningState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventRec],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserRunningState(0L, 0L)
+      var n = prev.n
+      var cents = prev.cents
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      totals.update(UserRunningState(n, cents))
+      Iterator.single(UserTotals(user, n, cents / 100.0))
+    }
+  }
+
+  /** [[userTotalsStateful]] through the modern `transformWithState` API
+    * (Spark 4's arbitrary-state surface): per-user totals in a named
+    * RocksDB-backed ValueState, Append emissions per touched user per
+    * micro-batch, settled to the last emission — must equal the batch
+    * `GROUP BY user_id` exactly like the flatMapGroupsWithState form. */
+  def userTotalsTransformWithState(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_tws_${runId.incrementAndGet()}"
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // transformWithState is only supported on the RocksDB state store.
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val reader = ss.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val totals = reader
+      .parquet(sfDir)
+      .as[EventRec]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val q = totals.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val settled = ss.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy("user_id")
+    settle(spark, name, settled)
+  }
+
   /** Watermarked streaming dedup via `dropDuplicatesWithinWatermark` —
     * the bounded-state dedup that [[graft.streaming.DocumentStreams]]'
     * timestamp-less corpus can only document: at most one event per

@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     assert(multi == batchHashes)
   }
 
+  test("transformWithState totals equal the batch GROUP BY, single and multi-batch") {
+    // The Spark 4 StatefulProcessor path must agree with the batch answer
+    // AND with the flatMapGroupsWithState form it modernizes.
+    val single = EventStreams.userTotalsTransformWithState(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == batchTotals.collect().map(_.toSeq).toSeq)
+    assert(single == EventStreams.userTotalsStateful(spark, sf)
+      .collect().map(_.toSeq).toSeq)
+
+    // Forced multi-batch: RocksDB value state must survive across
+    // micro-batches (3 files, one per trigger, append emissions per batch).
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_multi").toString
+    val ev = Tables.events(spark, sf)
+    (0 until 3).foreach { i =>
+      val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    val multi = EventStreams.userTotalsTransformWithState(spark, dir,
+      maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
+    assert(multi == batchTotals.collect().map(_.toSeq).toSeq)
+  }
+
   test("watermark dedup keeps exactly the distinct key set, even multi-batch") {
     val batchKeys = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
