@@ -130,11 +130,22 @@ object Bench {
     // Sidecar copy: the driver's round artifact stores a bounded log tail,
     // and with 100 queries the single JSON line can outgrow it (BENCH_r03
     // lost its head, leaving parsed=null). A file survives any tail length.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    // Default name carries the scale factor so back-to-back runs at
+    // different SFs (sf0.01 local iteration, sf0.1 driver round) don't
+    // clobber each other; SPARK_GRAFT_BENCH_OUT stays the override.
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_|_$", "")
+    // The un-tagged legacy path keeps working for any reader that expects
+    // it (last-run-wins there is acceptable; the tagged file is the one
+    // concurrent runs can't clobber).
+    val sidecars = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(Seq(_))
+      .getOrElse(Seq(s"/tmp/bench_last_$sfTag.json", "/tmp/bench_last.json"))
+    sidecars.foreach { sidecar =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

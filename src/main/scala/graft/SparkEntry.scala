@@ -64,7 +64,10 @@ object SparkEntry {
         val f = it.next()
         entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
       }
-      java.util.Objects.hash(entries.sorted.mkString("|")).toString
+      // The joined listing IS the key (bounded: one short entry per data
+      // file) — a 32-bit hash of it could collide and silently serve a
+      // stale index, the exact defect fingerprinting exists to prevent.
+      entries.sorted.mkString("|")
     }
   }
 
@@ -186,7 +189,7 @@ object SparkEntry {
     // the reference's registration path (01_feature_table_creation.py:112).
     "q41_catalog_roundtrip" -> ((s, d) => {
       val store = new CatalogFeatureStore(s, "graft_sales",
-        Some(s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/graft_sales.db"))
+        Some(WorkDirs.stable("warehouse/graft_sales.db")))
       store.createTable("customer_features_cat", Seq("c_custkey"), Tables.customer(s, d),
         "catalog-registered customer dimension")
       store.readTable("customer_features_cat")
@@ -304,7 +307,7 @@ object SparkEntry {
     // query demonstrates); the oracle is the plain join on the raw parquet.
     "q63_bucketed_join" -> ((s, d) => {
       val store = new CatalogFeatureStore(s, "graft_bucketed",
-        Some(s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/graft_bucketed.db"))
+        Some(WorkDirs.stable("warehouse/graft_bucketed.db")))
       store.createTable("customer_bkt", Seq("c_custkey"), Tables.customer(s, d),
         "bucketed customer dimension", buckets = 8)
       store.createTable("orders_bkt", Seq("o_orderkey"), Tables.orders(s, d),
@@ -356,7 +359,7 @@ object SparkEntry {
     // scan into a read of just the hot partition.
     "q64_partition_pruning" -> ((s, d) => {
       val store = new FeatureStore(s,
-        s"${System.getProperty("java.io.tmpdir")}/graft_fs_partitioned")
+        WorkDirs.stable("fs_partitioned"))
       store.createTable("customer_part", Seq("c_custkey"), Tables.customer(s, d),
         "customer partitioned by market segment", partitionBy = Seq("c_mktsegment"))
       store.readTable("customer_part")
@@ -446,7 +449,7 @@ object SparkEntry {
     // carving; fresh store dir per call so repeated bench/verify runs
     // start clean.
     "q82_stream_materialize" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mat_store_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q82_mat_store")
       graft.streaming.FeatureMaterialization.userTotalsMaterialized(
         s, d, new FeatureStore(s, dir))
     }),
@@ -463,7 +466,7 @@ object SparkEntry {
     // (the oracle runs on the ORIGINAL table); the file-pruning win is
     // asserted separately by LayoutSpec.
     "q85_zorder_scan" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q85_zorder")
       graft.ops.Layout.zorderWrite(Tables.lineitem(s, d), "l_partkey", "l_suppkey", dir, 16)
       s.read.parquet(dir)
         .filter(col("l_partkey").between(1, 100) && col("l_suppkey").between(1, 5))
@@ -491,7 +494,7 @@ object SparkEntry {
     // pre-mutation snapshot — it must equal the ORIGINAL source (which is
     // exactly what the oracle reads).
     "q87_time_travel" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tt_store_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q87_tt_store")
       val store = new FeatureStore(s, dir)
       val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
       store.createTable("cust_tt", Seq("c_custkey"), cust)
@@ -506,7 +509,7 @@ object SparkEntry {
     "q88_change_feed" -> ((s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_store_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q88_cdc_store")
       val store = new FeatureStore(s, dir)
       val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
       store.createTable("cust_cdc", Seq("c_custkey"), cust)
@@ -526,7 +529,7 @@ object SparkEntry {
     "q89_cdc_replica" -> ((s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdcrt_store_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q89_cdcrt_store")
       val store = new FeatureStore(s, dir)
       val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
       store.createTable("src", Seq("c_custkey"), cust)
@@ -546,7 +549,7 @@ object SparkEntry {
     // files pruned driver-side BEFORE the scan, residual filter after
     // (pruning admits a superset) — must equal the full scan + filter.
     "q90_skipping_scan" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skip_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q90_skip")
       graft.ops.Layout.zorderWrite(Tables.lineitem(s, d), "l_partkey", "l_suppkey", dir, 16)
       graft.ops.DataSkipping.writeManifest(s, dir, Seq("l_partkey", "l_suppkey"))
       graft.ops.DataSkipping.prunedRead(s, dir,
@@ -571,7 +574,7 @@ object SparkEntry {
     // additive partials (long cents — integer addition, so carving
     // provably cannot change the answer); must equal the full GROUP BY.
     "q93_incremental_agg" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_inc_store_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q93_inc_store")
       val store = new FeatureStore(s, dir)
       val ev = Tables.events(s, d).withColumn("cents",
         org.apache.spark.sql.functions.expr(
@@ -680,7 +683,7 @@ object SparkEntry {
     // memoization only approximates; probes on the loaded index are
     // partition-pruned scans. Rows-only (ANN, like q34).
     "q101_ivf_cold_lookup" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cold_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q101_ivf_cold")
       Similarity.saveIvf(ivfIndex(s, d), dir)
       Similarity.ivfTopK(Similarity.loadIvf(s, dir), 0, 20)
     }),
@@ -707,7 +710,7 @@ object SparkEntry {
     // 3-D box scan. Values must be untouched by the layout — the oracle
     // runs the same box on the ORIGINAL table.
     "q103_zorder_nd_scan" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_nd_${System.nanoTime()}"
+      val dir = WorkDirs.fresh("q103_zorder_nd")
       graft.ops.Layout.zorderWriteN(Tables.lineitem(s, d),
         Seq("l_partkey", "l_suppkey", "l_quantity"), dir, 16)
       s.read.parquet(dir)

@@ -86,18 +86,29 @@ object DataSkipping {
     val in = fs.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = raw.split("\n").filter(_.nonEmpty).toSeq
-    require(lines.nonEmpty && lines.head.contains("\"graft_skipping_files\""),
-      s"manifest at $p predates staleness tracking — rerun writeManifest")
-    val recorded = spark.read.json(Seq(lines.head).toDS())
-      .select(explode(col("graft_skipping_files")))
-      .collect().map(_.getString(0)).toSeq.sorted
-    val current = dataFileListing(fs, p.getParent)
-    require(recorded == current,
-      s"stale skipping manifest at $p: directory changed since writeManifest " +
-        s"(recorded ${recorded.size} files, found ${current.size}; " +
-        s"added=${(current.toSet -- recorded).take(3)} removed=${(recorded.toSet -- current).take(3)}) " +
-        "— rerun writeManifest after every rewrite of the directory")
-    spark.read.json(lines.tail.toDS())
+    require(lines.nonEmpty, s"empty skipping manifest at $p — rerun writeManifest")
+    if (lines.head.contains("\"graft_skipping_files\"")) {
+      val recorded = spark.read.json(Seq(lines.head).toDS())
+        .select(explode(col("graft_skipping_files")))
+        .collect().map(_.getString(0)).toSeq.sorted
+      val current = dataFileListing(fs, p.getParent)
+      require(recorded == current,
+        s"stale skipping manifest at $p: directory changed since writeManifest " +
+          s"(recorded ${recorded.size} files, found ${current.size}; " +
+          s"added=${(current.toSet -- recorded).take(3)} removed=${(recorded.toSet -- current).take(3)}) " +
+          "— rerun writeManifest after every rewrite of the directory")
+      spark.read.json(lines.tail.toDS())
+    } else {
+      // Legacy manifest (written before the header existed): staleness
+      // can't be verified, which is a risk the operator should hear about
+      // — but turning every pre-existing manifest into a read error is a
+      // breaking format change (round-4 ADVICE). Warn and serve it;
+      // rewriting via writeManifest upgrades it in place.
+      System.err.println(s"[graft] WARN: skipping manifest at $p predates " +
+        "staleness tracking — cannot verify it matches the directory; " +
+        "rerun writeManifest to upgrade it")
+      spark.read.json(lines.toDS())
+    }
   }
 
   /** Closed-interval range predicates per indexed column: `col -> (lo, hi)`. */

@@ -395,9 +395,20 @@ object EventStreams {
     * lifetime, so repeated invocations (bench best-of-2, test suites) would
     * accumulate copies without bound. The settled output is the bounded
     * verification artifact — materialize it locally, drop the view. */
-  private[streaming] def settle(spark: SparkSession, sinkName: String,
-      result: DataFrame): DataFrame = {
-    val rows = result.collect()
+  private[graft] val SettleMaxRows = 2000000
+
+  private[graft] def settle(spark: SparkSession, sinkName: String,
+      result: DataFrame, maxRows: Int = SettleMaxRows): DataFrame = {
+    // Hard cap on the driver materialization: every settled output today is
+    // a bounded aggregate, but nothing structural enforces that — a future
+    // append-mode query over a bigger fixture would silently OOM the driver
+    // here. limit(max+1) bounds the fetch itself, so the failure is this
+    // message, not an OutOfMemoryError.
+    val rows = result.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"settle($sinkName): settled stream output exceeds $maxRows rows — " +
+        "this sink's result is not a bounded aggregate; write it to a " +
+        "distributed sink instead of settling through the driver")
     val schema = result.schema
     // The memory sink's temp view lives in whichever session STARTED the
     // query (a tuned child session when streamSession is in play).

@@ -66,7 +66,10 @@ object FeatureMaterialization {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
 
-    val chk = s"${System.getProperty("java.io.tmpdir")}/graft_mat_chk_${runId.incrementAndGet()}_${System.nanoTime()}"
+    // Wiped per call: a stopped stream's checkpoint is dead state, and the
+    // runId keeps invocations within one JVM from colliding while the
+    // WorkDirs root bounds what any run can leave behind.
+    val chk = graft.WorkDirs.fresh(s"mat_chk_${runId.incrementAndGet()}")
     val q = totals.writeStream
       .outputMode("update")
       .option("checkpointLocation", chk)
@@ -75,7 +78,13 @@ object FeatureMaterialization {
         () // upsert returns the FeatureTable; foreachBatch wants Unit
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // A stopped stream's checkpoint is dead state — remove it now rather
+      // than waiting for the JVM-exit sweep of the WorkDirs root.
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(chk))
+      catch { case _: java.io.IOException => () }
+    }
     store.readTable(TotalsTable).orderBy("user_id")
   }
 }

@@ -313,4 +313,24 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(multi == batch)
   }
+
+  test("settle refuses an oversized stream result instead of collecting it") {
+    // The driver-side materialization in settle is only safe because every
+    // settled output is a bounded aggregate; the cap turns a future
+    // violation into this message instead of a driver OOM. The fetch is
+    // limit(max+1), so the oversized case never pulls the full result.
+    val big = spark.range(0, 100).toDF("id")
+    big.createOrReplaceTempView("graft_settle_cap_probe")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.settle(spark, "graft_settle_cap_probe", big, maxRows = 10)
+    }
+    assert(e.getMessage.contains("graft_settle_cap_probe"))
+    assert(e.getMessage.contains("bounded aggregate"))
+    // Under the cap, settle returns the rows and drops the sink view.
+    val small = spark.range(0, 5).toDF("id")
+    small.createOrReplaceTempView("graft_settle_cap_probe")
+    val out = EventStreams.settle(spark, "graft_settle_cap_probe", small, maxRows = 10)
+    assert(out.count() == 5)
+    assert(!spark.catalog.tableExists("graft_settle_cap_probe"))
+  }
 }
