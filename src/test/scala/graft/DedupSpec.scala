@@ -89,6 +89,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // only the true dup pair survives
   }
 
+  test("native banded minhash pairs equal the MLlib approxSimilarityJoin pair set") {
+    // The round-5 native form must not change WHAT q30 finds: same
+    // threshold, same fixture => same pair set as the retained MLlib
+    // reference implementation (distances differ only in that the native
+    // form computes true set Jaccard while MLlib approximates over 2^18
+    // HashingTF buckets — pair membership is the contract).
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val native = pairSet(Dedup.minHashPairs(docs, maxDistance = 0.6))
+    val mllib = pairSet(Dedup.minHashPairsMLlib(docs, maxDistance = 0.6))
+    assert(native == mllib,
+      s"native-only: ${(native -- mllib).take(5)}; mllib-only: ${(mllib -- native).take(5)}")
+  }
+
   test("minhash pairs finds the exact dup; clustering collapses it") {
     val pairs = Dedup.minHashPairs(corpus, maxDistance = 0.5)
     val pairSet = pairs.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -56,6 +56,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q30 minhash candidates come from a banded equi-join, never a cartesian") {
+    // The native banded MinHash join (round-5): signatures are computed in
+    // a higher-order projection (no shuffle), candidates by self-equi-join
+    // on (band, minhash value). Any cartesian/nested-loop here would be the
+    // O(n^2) shape banding exists to avoid.
+    val p = graft.dedup.Dedup.minHashPairsPlanned(
+        Tables.documents(spark, sf), 3, 0.6, 8)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), s"cartesian in minhash plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in minhash plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join generating candidates:\n$p")
+  }
+
   test("q35 exact near-dup: broadcast nested loop, never a cartesian product") {
     assertPlan("q35_embedding_neardup",
       mustContain = Seq("BroadcastNestedLoopJoin"),
