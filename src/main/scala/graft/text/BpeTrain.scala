@@ -25,10 +25,36 @@ import org.apache.spark.sql.functions._
 object BpeTrain {
 
   /** Learn `numMerges` merges from a document corpus. Returns
-    * (rank, left, right, merged, frequency) ordered by rank. */
+    * (rank, left, right, merged, frequency) ordered by rank.
+    *
+    * Batched (round-5): each Spark round counts pairs ONCE and learns up
+    * to `maxBatch` merges from it, so a 30k-merge vocabulary costs
+    * ~30k/batch jobs instead of one job per merge (the round-4 honest
+    * limit). The batch is NOT an approximation — it accepts exactly the
+    * prefix of the (freq desc, pair lex) ordering that classic sequential
+    * BPE provably learns in the same order:
+    *
+    *  - accepted pairs must be pairwise symbol-disjoint: fusing (l1,r1)
+    *    cannot change the count of a pair touching neither l1 nor r1;
+    *  - the batch stops at the FIRST conflicting pair, so every pair
+    *    ranked above an accepted one is itself accepted (no skipped pair
+    *    can re-rank above later batch members after its count decays);
+    *  - every pair the batch CREATES (x·m or m·y for a merged symbol m)
+    *    occurs only where the original corpus had a pair involving l or r
+    *    — a conflicting pair, hence ranked at or below the stop pair — so
+    *    accepted pairs are additionally truncated to frequencies STRICTLY
+    *    above the stop frequency, leaving no room for a created pair to
+    *    overtake one (ties included: tie-break order could favor the
+    *    created pair, so equality is not safe);
+    *  - the fallback batch is the single top pair, which IS the classic
+    *    next merge by definition.
+    *
+    * BpeTrainSpec pins both the classic hand-computed sequence and
+    * batched == sequential (maxBatch = 1) equality on the corpus fixture. */
   def learnMerges(docs: DataFrame, numMerges: Int = 20,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxBatch: Int = 16): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     val spark = docs.sparkSession
     // One corpus pass: word-frequency vocabulary, words as char sequences.
     var vocab = docs
@@ -44,6 +70,8 @@ object BpeTrain {
     var rank = 1
     var continue = true
     while (rank <= numMerges && continue) {
+      val want = math.min(maxBatch, numMerges - rank + 1)
+      // Bounded driver state: at most want+1 (freq, l, r) rows per round.
       val top = vocab
         .filter(size(col("symbols")) >= 2)
         .select(explode(expr(
@@ -52,24 +80,49 @@ object BpeTrain {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("freq"))
         .orderBy(desc("freq"), col("l"), col("r"))
-        .limit(1)
+        .limit(want + 1)
         .collect()
-      top.headOption match {
-        case None => continue = false // every word fused to one symbol
-        case Some(Row(l: String, r: String, freq: Long)) =>
-          val merged = l + r
-          merges += ((rank, l, r, merged, freq))
-          // Greedy left-to-right non-overlapping fuse of (l, r) -> merged.
-          vocab = vocab.select(
+        .map {
+          case Row(l: String, r: String, freq: Long) => (l, r, freq)
+          case other => sys.error(s"unexpected row shape: $other")
+        }
+      if (top.isEmpty) continue = false // every word fused to one symbol
+      else {
+        // Accepted prefix: symbol-disjoint, stopped at the first conflict
+        // or at the want-th pair; then truncated to freq > stopFreq.
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopFreq = Long.MinValue // no pair beyond the collected list
+        var i = 0
+        var open = true
+        while (open && i < top.length) {
+          val (l, r, f) = top(i)
+          if (prefix.size >= want || used(l) || used(r)) { stopFreq = f; open = false }
+          else { prefix += top(i); used += l; used += r }
+          i += 1
+        }
+        val safe = prefix.takeWhile(_._3 > stopFreq)
+        val accepted = if (safe.nonEmpty) safe.toSeq else Seq(top.head)
+        accepted.foreach { case (l, r, f) =>
+          merges += ((rank, l, r, l + r, f))
+          rank += 1
+        }
+        // Greedy left-to-right non-overlapping fuse of each accepted pair,
+        // stacked into ONE projection (disjointness makes the order
+        // immaterial; ranks are assigned in batch order regardless) and
+        // ONE job via the trailing localCheckpoint — constant plan depth
+        // across rounds, bounded expression depth within one (<= maxBatch
+        // stacked folds, the bpeEncode checkpoint discipline).
+        val fused = accepted.foldLeft(vocab) { case (df, (l, r, _)) =>
+          df.select(
             expr(s"""aggregate(symbols, CAST(array() AS array<string>), (acc, x) ->
               CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)}
-                   THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(merged)}))
+                   THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(l + r)}))
                    ELSE concat(acc, array(x)) END)""").as("symbols"),
             col("n"))
-            .localCheckpoint(true) // constant plan depth across iterations
-        case Some(other) => sys.error(s"unexpected row shape: $other")
+        }
+        vocab = fused.localCheckpoint(true)
       }
-      rank += 1
     }
     import spark.implicits._
     merges.result().toDF("rank", "left", "right", "merged", "frequency")

@@ -97,6 +97,18 @@ class BpeTrainSpec extends SparkSpec {
     assert(encoded == 36L, s"expected 36 single-token words, got $encoded")
   }
 
+  test("batched merge learning equals sequential on the corpus fixture") {
+    // The round-5 batching is exact by construction (disjoint top-prefix +
+    // strict stop-frequency truncation); this pins it empirically: the
+    // default batched path and maxBatch = 1 (one merge per Spark round,
+    // the round-4 formulation) must learn the identical table.
+    val docs = Tables.documents(spark, sf)
+    val batched = BpeTrain.learnMerges(docs, numMerges = 40).collect()
+    val sequential = BpeTrain.learnMerges(docs, numMerges = 40, maxBatch = 1).collect()
+    assert(batched.map(_.toSeq).toSeq == sequential.map(_.toSeq).toSeq)
+    assert(batched.length == 40)
+  }
+
   test("corpus-scale run: deterministic and ranked by frequency") {
     val docs = Tables.documents(spark, sf)
     val a = BpeTrain.learnMerges(docs, numMerges = 5).collect()
