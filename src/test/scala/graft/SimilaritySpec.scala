@@ -296,4 +296,16 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     assert(pqB.nonEmpty && pqB.forall(id => id == 0 || (id >= 60 && id < 120)),
       s"stale PQ index served after corpus rewrite: $pqB")
   }
+
+  test("q110 reports recall@20 for every ANN index, above the floor") {
+    // Per-round recall observability (round-4 verdict item 7): the query
+    // itself computes recall vs q29's exact top-k; this pins a floor so an
+    // index regression fails the suite, not just dents a bench number.
+    val out = SparkEntry.queries("q110_ann_recall")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall_at_k")).toMap
+    assert(out.keySet == Set("ivf", "lsh", "pq"), s"methods: ${out.keySet}")
+    out.foreach { case (m, r) =>
+      assert(r >= 0.5, s"$m recall@20 = $r below the 0.5 floor")
+    }
+  }
 }
