@@ -812,8 +812,8 @@ object SparkEntry {
     * [[oracleSql]] convention. */
   def RevenueByNationSql(prefix: String): String =
     s"""SELECT n_name,
-       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-       |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       |  CAST(round(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_lineitems
        |FROM ${prefix}region
        |JOIN ${prefix}nation ON n_regionkey = r_regionkey
@@ -857,8 +857,8 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty,
          |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM(CAST($discPrice * (1 + ${dec("l_tax")}) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS sum_disc_price,
+         |  CAST(round(SUM(CAST($discPrice * (1 + ${dec("l_tax")}) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
          |  COUNT(*) AS count_order,
          |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
          |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price
@@ -868,7 +868,7 @@ object SparkEntry {
     "q02_filter_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount""".stripMargin,
     "q03_top_revenue" ->
       s"""SELECT l_orderkey, o_orderdate,
          |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
@@ -897,7 +897,7 @@ object SparkEntry {
          |ORDER BY c_custkey""".stripMargin,
     "q06_selective_agg" ->
       s"""SELECT
-         |  CAST(SUM(CAST(${dec("l_extendedprice")} * ${dec("l_discount")} AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |  CAST(round(SUM(CAST(${dec("l_extendedprice")} * ${dec("l_discount")} AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_lines
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -978,7 +978,7 @@ object SparkEntry {
          |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q17_bigjoin_agg" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lines,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS revenue,
          |  COUNT(DISTINCT o_orderkey) AS n_orders
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus, o_orderpriority
@@ -1273,7 +1273,7 @@ object SparkEntry {
         |ORDER BY doc_id, epoch""".stripMargin,
     "q57_range_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS revenue
          |FROM orders JOIN lineitem
          |  ON o_orderkey = l_orderkey
          |  AND l_shipdate >= o_orderdate
@@ -1295,7 +1295,7 @@ object SparkEntry {
     // Deliberately the UNSALTED join: q60's salted plan must hash-match it.
     "q60_salted_join" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lines,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS revenue,
          |  COUNT(DISTINCT o_orderkey) AS n_orders
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus, o_orderpriority

@@ -30,6 +30,21 @@ object Relational {
   /** TPC-H Q1 shape: multi-function hash aggregation with group keys.
     * Partial (map-side) aggregation + final merge — 2-phase, shuffle only
     * carries one row per (flag,status) per partition. */
+  /** Unbounded money totals: collapse the decimal sum to scale 2 BEFORE
+    * the final double cast. A sum at scale s only converts to double
+    * identically across engines while value*10^s stays under 2^53 — above
+    * that, engines that cast decimal->double in two roundings (int128 to
+    * double, then divide by 10^s) can land one ulp away from a correctly
+    * rounded conversion (the sf1 sweep caught exactly this on q01's
+    * scale-6 charge sum). At scale 2 the window extends to ~9e13 in value
+    * — beyond any per-group money total this schema can produce. */
+  private def moneyTotal(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // round(), not a down-scale CAST: Spark's decimal cast rounds HALF_UP
+    // while DuckDB's truncates — round(d, 2) is half-away-from-zero in
+    // both engines and returns a scale-2 decimal whose double cast is
+    // then exact in the window above.
+    round(c, 2).cast(DoubleType)
+
   def pricingSummary(lineitem: DataFrame): DataFrame = {
     val charge = (discPrice(lineitem) * (lit(1) + dec2(lineitem("l_tax")))).cast(DecimalType(18, 6))
     lineitem
@@ -38,8 +53,8 @@ object Relational {
       .agg(
         sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
         sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-        sum(discPrice(lineitem)).cast(DoubleType).as("sum_disc_price"),
-        sum(charge).cast(DoubleType).as("sum_charge"),
+        moneyTotal(sum(discPrice(lineitem))).as("sum_disc_price"),
+        moneyTotal(sum(charge)).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
       .withColumn("avg_price", col("sum_base_price") / col("count_order"))
@@ -52,7 +67,11 @@ object Relational {
     lineitem
       .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem
+      // (q04 has the same caveat) — order by every output column so the
+      // row order is total and the oracle compare cannot see tied rows in
+      // a different engine order (caught by the sf1 sweep).
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
 
   /** TPC-H Q6 shape: fully-pushed selective aggregate, no shuffle beyond the
     * final single-row merge. */
@@ -64,8 +83,8 @@ object Relational {
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
       .agg(
-        sum((dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("revenue"),
+        moneyTotal(sum((dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast(DecimalType(18, 4))))
+          .as("revenue"),
         count(lit(1)).as("n_lines"))
 
   /** TPC-H Q3 shape: selective fact-dim join (dim side broadcast by
@@ -218,7 +237,7 @@ object Relational {
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(discPrice(lineitem)).cast(DoubleType).as("revenue"),
+        moneyTotal(sum(discPrice(lineitem))).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
@@ -259,7 +278,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(discPrice(lineitem)).cast(DoubleType).as("revenue"))
+        moneyTotal(sum(discPrice(lineitem))).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** The fact⋈fact revenue aggregation of [[orderLineRevenue]], executed
@@ -280,8 +299,8 @@ object Relational {
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+        moneyTotal(sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(18, 4)))).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
