@@ -236,30 +236,57 @@ object Dedup {
       n: Int,
       maxDistance: Double,
       numHashTables: Int): DataFrame = {
-    // Materialized once: feeds the signature computation AND both distance
-    // joins (blocks released by the ContextCleaner when the frame drops).
-    val sets = shingled(documents, n)
-      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+    // Shingles live as 64-bit hashes from the first projection on: the
+    // n-gram hash folds n consecutive token hashes directly, so no shingle
+    // STRING is ever materialized (the first native attempt built string
+    // arrays and paid 2 s of interpreted array_join/slice plus a 4 KB/row
+    // set payload through every later join — profiled at sf0.1). Jaccard
+    // over distinct 64-bit shingle hashes equals raw-shingle Jaccard up to
+    // hash collisions (~1e-10 per pair at these set sizes).
+    val toks = graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("__toks"))
+    val gram = transform(
+      sequence(lit(0), size(col("__toks")) - n),
+      i => xxhash64((0 until n).map(j => element_at(col("__toks"), i + j + 1)): _*))
+    val shl = when(size(col("__toks")) < n, array(xxhash64(col("text")))).otherwise(gram)
+    // Materialized once (~8 bytes per shingle): feeds the signature
+    // computation AND both distance joins (blocks released by the
+    // ContextCleaner when the frame drops).
+    val sets = toks.select(col("doc_id"), array_distinct(shl).as("__shl"))
       .localCheckpoint(true)
-    val sigCols = (0 until numHashTables).map { b =>
-      array_min(transform(col("sh"), x => xxhash64(lit(b), x))).as(s"__sig_$b")
-    }
-    val sigs = sets.select(col("doc_id") +: sigCols: _*).localCheckpoint(true)
-    val bands = (0 until numHashTables).map { b =>
-      sigs.select(lit(b).as("band"), col(s"__sig_$b").as("band_val"), col("doc_id"))
-    }.reduce(_ union _)
-    val cands = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b")),
+    // One row per (doc, band) via a single posexplode — not a
+    // numHashTables-way union, which costs one scan per band — and
+    // materialized once: both sides of the self-join read the tiny
+    // (doc, band, value, size) stack instead of re-running the 8
+    // per-shingle hash passes per side.
+    val sigv = array((0 until numHashTables).map { b =>
+      array_min(transform(col("__shl"), h => xxhash64(lit(b), h)))
+    }: _*)
+    val bands = sets
+      .select(col("doc_id"), size(col("__shl")).as("__sz"), posexplode(sigv))
+      .toDF("doc_id", "__sz", "band", "band_val")
+      .localCheckpoint(true)
+    // Exact size prune on the banded candidates: jaccard <= min/max of the
+    // set sizes, so any pair whose smaller set is below (1 - maxDistance)
+    // of the larger CANNOT reach the threshold — dropped before the
+    // distinct and the set joins, zero recall loss.
+    val minJaccard = 1.0 - maxDistance
+    val cands = bands.select(col("band"), col("band_val"),
+        col("doc_id").as("doc_a"), col("__sz").as("__sz_a"))
+      .join(bands.select(col("band"), col("band_val"),
+        col("doc_id").as("doc_b"), col("__sz").as("__sz_b")),
         Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("__sz_a"), col("__sz_b")).cast("double") >=
+        lit(minJaccard) * greatest(col("__sz_a"), col("__sz_b")))
       .select("doc_a", "doc_b")
       .distinct()
     val pairs = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("__sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("__sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("__shl").as("__shl_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("__shl").as("__shl_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (lit(1.0) - size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double")).as("dist"))
+        (lit(1.0) - size(array_intersect(col("__shl_a"), col("__shl_b"))).cast("double") /
+          size(array_union(col("__shl_a"), col("__shl_b"))).cast("double")).as("dist"))
       .filter(col("dist") <= maxDistance)
       .orderBy("doc_a", "doc_b")
     pairs
@@ -302,11 +329,60 @@ object Dedup {
   }
 
   /** Collapse near-dup pairs into clusters and pick one representative per
-    * cluster: iterative hash-to-min label propagation (each round, every doc
-    * adopts the smallest doc_id reachable over one edge). Converges in
-    * O(cluster diameter) rounds; dup clusters are shallow so `maxIter` = 10
-    * is generous. Returns (doc_id, cluster_id, is_representative). */
-  def clusterPairs(documents: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * cluster. Returns (doc_id, cluster_id, is_representative).
+    *
+    * Size-adaptive (the [[graft.sim.Similarity.cosineNearDupPairs]]
+    * discipline): when the edge set is bounded (≤ `driverEdgeCap`,
+    * default 2M ≈ 32 MB — fetched via limit(cap+1), so an over-cap graph
+    * never lands on the driver), connected components run as driver
+    * union-find and come back as one broadcast join: constant job count
+    * instead of ~4 scheduled stages per propagation round, which is pure
+    * fixed overhead on a dup graph of thousands of edges. Above the cap —
+    * the genuinely-big-graph regime — the distributed iterative
+    * hash-to-min propagation with pointer jumping takes over (each round,
+    * every doc adopts the smallest doc_id reachable over one edge;
+    * converges in O(log diameter) rounds and REFUSES to return
+    * unconverged labels). DedupSpec pins label equality between the two
+    * paths on the fixture. */
+  def clusterPairs(documents: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      driverEdgeCap: Int = 2000000): DataFrame = {
+    val spark = documents.sparkSession
+    val bounded = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(driverEdgeCap + 1).collect()
+    if (bounded.length <= driverEdgeCap) {
+      // Union-find with path compression + union by min-root: roots are the
+      // smallest member, matching the iterative path's min-label semantics.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      bounded.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { val (lo, hi) = (math.min(a, b), math.max(a, b)); parent(hi) = lo }
+      }
+      // Snapshot keys before the final find() pass: path compression
+      // rewrites values in place.
+      val labels = parent.keys.toSeq.map(k => (k, find(k)))
+      import spark.implicits._
+      val labelDf = labels.toDF("doc_id", "cluster_id")
+      return documents.select(col("doc_id"))
+        .join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }
+    clusterPairsIterative(documents, pairs, maxIter)
+  }
+
+  /** The distributed label-propagation path of [[clusterPairs]] — also the
+    * spec hook that pins its equality with the union-find fast path. */
+  private[graft] def clusterPairsIterative(documents: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
     // Undirected edge list, both directions.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

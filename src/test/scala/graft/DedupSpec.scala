@@ -104,6 +104,20 @@ class DedupSpec extends SparkSpec {
       s"native-only: ${(native -- mllib).take(5)}; mllib-only: ${(mllib -- native).take(5)}")
   }
 
+  test("union-find fast path equals the iterative propagation labels") {
+    // clusterPairs routes bounded edge sets through driver union-find; the
+    // distributed min-propagation path must assign identical labels (it is
+    // the over-cap fallback, so divergence would mean scale changes the
+    // answer). Pinned on the corpus fixture's minhash pair graph.
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minHashPairs(docs, maxDistance = 0.6)
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    val fast = labels(Dedup.clusterPairs(docs.select(col("doc_id")), pairs))
+    val iter = labels(Dedup.clusterPairsIterative(docs.select(col("doc_id")), pairs))
+    assert(fast == iter)
+  }
+
   test("minhash pairs finds the exact dup; clustering collapses it") {
     val pairs = Dedup.minHashPairs(corpus, maxDistance = 0.5)
     val pairSet = pairs.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
