@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions.col
 
@@ -14,7 +13,7 @@ class CatalogStoreSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private lazy val warehouse = Files.createTempDirectory("graft_wh").toString
+  private lazy val warehouse = tempDir("graft_wh")
   private lazy val store =
     new CatalogFeatureStore(spark, "graft_test_db", Some(s"$warehouse/graft_test_db.db"))
 

@@ -9,7 +9,7 @@ class DataSkippingSpec extends SparkSpec {
   private lazy val li = Tables.lineitem(spark, sf)
 
   private def zDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val dir = tempDir("graft_skip")
     Layout.zorderWrite(li, "l_partkey", "l_suppkey", dir, nFiles = 8)
     DataSkipping.writeManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
     dir

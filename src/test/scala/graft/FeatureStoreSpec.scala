@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions.col
 
@@ -9,7 +8,7 @@ import graft.ingest.CsvIngest
 
 class FeatureStoreSpec extends SparkSpec {
 
-  private lazy val base = Files.createTempDirectory("graft_fs").toString
+  private lazy val base = tempDir("graft_fs")
   private lazy val store = new FeatureStore(spark, base)
 
   test("createTable registers a primary-keyed table and readTable round-trips") {
@@ -192,7 +191,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("upserts create version snapshots; time travel reads them back") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_tt").toString)
+    val s = new FeatureStore(spark, tempDir("graft_tt"))
     s.createTable("tt", Seq("id"), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     assert(s.versions("tt").isEmpty) // creation is not a mutation
     s.upsert("tt", Seq((2L, "B")).toDF("id", "v"))
@@ -209,7 +208,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("rollback restores a snapshot and is itself undoable") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_rb").toString)
+    val s = new FeatureStore(spark, tempDir("graft_rb"))
     s.createTable("rb", Seq("id"), Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
     s.upsert("rb", Seq((1L, 99.0)).toDF("id", "v"))
     s.rollback("rb", 1L) // back to the original
@@ -226,7 +225,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("tableChanges emits CDF-style rows: insert, delete, update pre/postimage") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_cdc").toString)
+    val s = new FeatureStore(spark, tempDir("graft_cdc"))
     s.createTable("cdc", Seq("id"), Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
     s.upsert("cdc", Seq((2L, "B"), (4L, "d")).toDF("id", "v")) // snapshot v1 = original
     val fwd = s.tableChanges("cdc", 1L).collect()
@@ -249,7 +248,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("tableChanges null-safe comparison: null -> null is unchanged, null -> value is an update") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_cdcn").toString)
+    val s = new FeatureStore(spark, tempDir("graft_cdcn"))
     s.createTable("cdcn", Seq("id"),
       Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("id", "v"))
     s.upsert("cdcn", Seq((1L, None: Option[String]), (2L, Some("x"))).toDF("id", "v"))
@@ -279,7 +278,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("upsert mergeSchema evolves the table: new columns added, old rows read null") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_evo").toString)
+    val s = new FeatureStore(spark, tempDir("graft_evo"))
     s.createTable("evo", Seq("id"), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     // New column arrives with the refresh.
     s.upsert("evo", Seq((2L, "B", 0.9), (3L, "c", 0.5)).toDF("id", "v", "score"),
@@ -300,7 +299,7 @@ class FeatureStoreSpec extends SparkSpec {
   test("mergeAdditive: hand-computed incremental refresh, null-as-zero for new keys") {
     import spark.implicits._
     import graft.ops.Incremental
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_inc").toString)
+    val s = new FeatureStore(spark, tempDir("graft_inc"))
     s.createTable("mv", Seq("k"), Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("k", "n", "total"))
     // Batch: 'a' gains (1, 7); 'c' is brand new (3, 30); 'b' untouched.
     Incremental.mergeAdditive(s, "mv", Seq(("a", 1L, 7L), ("c", 3L, 30L)).toDF("k", "n", "total"))
@@ -317,7 +316,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("delete removes matching rows, snapshots, and logs") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_del").toString)
+    val s = new FeatureStore(spark, tempDir("graft_del"))
     s.createTable("d", Seq("id"), Seq((1L, 5), (2L, 50), (3L, 500)).toDF("id", "v"))
     s.delete("d", col("v") >= 50)
     assert(s.readTable("d").collect().map(_.getLong(0)).toSeq == Seq(1L))
@@ -327,7 +326,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("applyChanges replicates a source's feed onto a replica exactly (CDC round-trip)") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_cdc_rt").toString
+    val dir = tempDir("graft_cdc_rt")
     val s = new FeatureStore(spark, dir)
     val t0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     s.createTable("src", Seq("id"), t0)
@@ -347,7 +346,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("history logs every lifecycle op and outlives snapshot pruning") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_hist").toString,
+    val s = new FeatureStore(spark, tempDir("graft_hist"),
       maxVersionsRetained = 1)
     val t0 = System.currentTimeMillis()
     s.createTable("h", Seq("id"), Seq((1L, "a")).toDF("id", "v"))
@@ -367,7 +366,7 @@ class FeatureStoreSpec extends SparkSpec {
 
   test("version retention is bounded; dropTable removes snapshots") {
     import spark.implicits._
-    val s = new FeatureStore(spark, Files.createTempDirectory("graft_ret").toString,
+    val s = new FeatureStore(spark, tempDir("graft_ret"),
       maxVersionsRetained = 2)
     s.createTable("ret", Seq("id"), Seq((1L, 0)).toDF("id", "v"))
     (1 to 4).foreach(i => s.upsert("ret", Seq((1L, i)).toDF("id", "v")))

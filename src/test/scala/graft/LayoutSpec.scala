@@ -48,8 +48,8 @@ class LayoutSpec extends SparkSpec {
 
   test("3-column z-order prunes a 3-D box better than a 1-column sort") {
     val li = Tables.lineitem(spark, sf)
-    val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
-    val linDir = java.nio.file.Files.createTempDirectory("graft_lin3").toString
+    val zDir = tempDir("graft_z3")
+    val linDir = tempDir("graft_lin3")
     Layout.zorderWriteN(li, Seq("l_partkey", "l_suppkey", "l_quantity"), zDir, 16)
     Layout.linearWrite(li, "l_partkey", linDir, 16)
     def touched(dir: String): (Long, Long) = {
@@ -81,7 +81,7 @@ class LayoutSpec extends SparkSpec {
 
   test("zorderWrite preserves data exactly (layout only)") {
     val li = Tables.lineitem(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft_z_data").toString
+    val dir = tempDir("graft_z_data")
     Layout.zorderWrite(li, "l_partkey", "l_suppkey", dir, nFiles = 8)
     val back = spark.read.parquet(dir)
     assert(back.count() == li.count())
@@ -91,8 +91,8 @@ class LayoutSpec extends SparkSpec {
 
   test("z-order layout prunes more files than linear layout for a 2-D box") {
     val li = Tables.lineitem(spark, sf)
-    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
-    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    val zDir = tempDir("graft_z")
+    val linDir = tempDir("graft_lin")
     val files = 16
     Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, files)
     Layout.linearWrite(li, "l_partkey", linDir, files)

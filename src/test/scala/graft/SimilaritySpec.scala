@@ -63,7 +63,7 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
   test("IVF index save/load round-trips: same probes, partition-pruned scan") {
     val embeddings = Tables.embeddings(spark, sf)
     val index = Similarity.buildIvf(embeddings, nlist = 8)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val path = tempDir("graft_ivf")
     Similarity.saveIvf(index, path)
     val loaded = Similarity.loadIvf(spark, path)
     // Same centroids, same probe results, across the persistence boundary.
@@ -272,7 +272,7 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     // Round-3 defect: SparkEntry's index caches keyed on the dir path only,
     // so rewriting the corpus at the same path within one session served a
     // stale index. The fingerprint key must catch the rewrite.
-    val dir = java.nio.file.Files.createTempDirectory("graft_fp_").toString
+    val dir = tempDir("graft_fp_")
     val emb = Tables.embeddings(spark, sf)
     def neighborIds(q: String) =
       SparkEntry.queries(q)(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet

@@ -17,5 +17,13 @@ trait SparkSpec extends AnyFunSuite {
 
   lazy val sf: String = "/root/testdata/sf0.001"
 
+  /** Spec scratch dir: unique per call (suites mint several stores per
+    * test), but under the per-JVM [[WorkDirs]] root so its shutdown hook
+    * leaves /tmp flat after the test JVM exits — raw
+    * `Files.createTempDirectory` leaked one dir per store per run. */
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(WorkDirs.rootDir), prefix).toString
+
   def refData(file: String): String = s"/root/reference/data/$file"
 }

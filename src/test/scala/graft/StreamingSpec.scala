@@ -25,7 +25,7 @@ class StreamingSpec extends SparkSpec {
     // Carve the fixture into 3 files and feed them one per micro-batch:
     // every user now gets multiple Append emissions; the settled read must
     // still equal the batch GROUP BY.
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_multi").toString
+    val dir = tempDir("graft_stream_multi")
     val ev = Tables.events(spark, sf)
     // Write three disjoint slices as separate single-file directories, then
     // move each part file up as events_<i>.parquet (glob: events*.parquet).
@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
     // upsert, so the table is rewritten per batch — the settled read must
     // still equal the batch GROUP BY (each key's last upsert carries its
     // full aggregate).
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mat").toString
+    val dir = tempDir("graft_stream_mat")
     val ev = Tables.events(spark, sf)
     (0 until 3).foreach { i =>
       val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
@@ -64,7 +64,7 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
     }
-    val storeDir = java.nio.file.Files.createTempDirectory("graft_mat_store").toString
+    val storeDir = tempDir("graft_mat_store")
     val store = new FeatureStore(spark, storeDir)
     val settled = FeatureMaterialization.userTotalsMaterialized(
       spark, dir, store, maxFilesPerTrigger = Some(1))
@@ -87,7 +87,7 @@ class StreamingSpec extends SparkSpec {
 
     // Forced multi-batch: carve the fixture into 3 files, one per trigger —
     // dedup state must hold across batches (no hash re-emitted).
-    val dir = java.nio.file.Files.createTempDirectory("graft_docs_multi").toString
+    val dir = tempDir("graft_docs_multi")
     (0 until 3).foreach { i =>
       val sliceDir = s"$dir/slice_$i"
       docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sliceDir)
@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
 
     // Forced multi-batch: RocksDB value state must survive across
     // micro-batches (3 files, one per trigger, append emissions per batch).
-    val dir = java.nio.file.Files.createTempDirectory("graft_tws_multi").toString
+    val dir = tempDir("graft_tws_multi")
     val ev = Tables.events(spark, sf)
     (0 until 3).foreach { i =>
       val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
@@ -147,7 +147,7 @@ class StreamingSpec extends SparkSpec {
     // semantics, not a bug). Time-ordered slices keep every row on-time
     // while still forcing dedup state to persist across micro-batches for
     // keys whose hour straddles a slice boundary.
-    val dir = java.nio.file.Files.createTempDirectory("graft_wm_multi").toString
+    val dir = tempDir("graft_wm_multi")
     val ev = Tables.events(spark, sf)
     val sliced = ev.withColumn("__slice",
       org.apache.spark.sql.functions.ntile(3).over(
@@ -233,7 +233,7 @@ class StreamingSpec extends SparkSpec {
     assert(single == batch)
 
     // Multi-batch: the per-batch joins must accumulate to the same totals.
-    val dir = java.nio.file.Files.createTempDirectory("graft_enrich_multi").toString
+    val dir = tempDir("graft_enrich_multi")
     val ev = Tables.events(spark, sf)
     (0 until 3).foreach { i =>
       val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
@@ -291,7 +291,7 @@ class StreamingSpec extends SparkSpec {
     // not trail the previous batch's watermark). Cross-batch pairs (view
     // in slice i, purchase in slice i+1) must still be found from buffered
     // join state.
-    val dir = java.nio.file.Files.createTempDirectory("graft_join_multi").toString
+    val dir = tempDir("graft_join_multi")
     val tiles = ev.select(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val (lo, hi) = (tiles.getTimestamp(0).getTime, tiles.getTimestamp(1).getTime)
     val cut = (hi - lo) / 3

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions.col
 
@@ -19,7 +18,7 @@ class TrainerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   // plans by the shared session's CacheManager.
   override def afterAll(): Unit = { trainingDf.unpersist(); super.afterAll() }
 
-  private lazy val base = Files.createTempDirectory("graft_ml").toString
+  private lazy val base = tempDir("graft_ml")
   private lazy val store = new FeatureStore(spark, base)
 
   private lazy val lookups = Seq(
