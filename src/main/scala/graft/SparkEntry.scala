@@ -799,7 +799,20 @@ object SparkEntry {
         "orders" -> Tables.orders(s, d), "lineitem" -> Tables.lineitem(s, d))
         .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_sql_$n") }
       s.sql(RevenueByNationSql("graft_sql_"))
-    }))
+    }),
+    // Ordered conversion funnel (view -> click -> purchase, 24h windows,
+    // first-touch chaining): product-analytics staple over the events
+    // table. One shuffle on user_id; stage chaining is per-user array
+    // arithmetic, not per-stage self-joins.
+    "q112_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    // Daily cohort retention on purchase activity: users grouped by
+    // first-purchase day, cells count who purchased again N days later.
+    "q113_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
+    // Equal-frequency price binning: SQL-standard ntile(10) semantics via
+    // the distributed two-level assignment (no global single-partition
+    // window) — RelationalSpec pins row-level equality with Spark's own
+    // ntile, the oracle pins the per-bin profile against DuckDB's ntile.
+    "q114_price_bins" -> ((s, d) => Relational.priceBins(Tables.lineitem(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1764,5 +1777,49 @@ object SparkEntry {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // One template, two engines: the oracle IS the Spark SQL text with the
     // view prefix stripped (q111's whole point — the SQL front door).
-    "q111_sql_revenue_by_nation" -> RevenueByNationSql(""))
+    "q111_sql_revenue_by_nation" -> RevenueByNationSql(""),
+    // First-touch funnel chaining via nested min-aggregations: each stage's
+    // time is the earliest qualifying event strictly after (and within 24h
+    // of) the previous stage's time — same strict bounds as Events.funnel.
+    "q112_funnel" ->
+      """WITH base AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, MIN(ts) AS t0 FROM base
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT b.user_id, MIN(b.ts) AS t1 FROM base b JOIN v USING (user_id)
+        |  WHERE b.event_type = 'click' AND b.ts > v.t0
+        |    AND b.ts <= v.t0 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT b.user_id, MIN(b.ts) AS t2 FROM base b JOIN c USING (user_id)
+        |  WHERE b.event_type = 'purchase' AND b.ts > c.t1
+        |    AND b.ts <= c.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+        |ORDER BY stage_idx""".stripMargin,
+    // DuckDB's date_trunc('day') yields DATE; cast to TIMESTAMP to match
+    // Spark's date_trunc. day_offset by day-difference (both sides are
+    // day-truncated, so the integer division is exact).
+    "q113_cohort_retention" ->
+      """WITH pur AS (SELECT user_id, date_trunc('day', ts) AS d FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(d) AS cd FROM pur GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM pur)
+        |SELECT CAST(f.cd AS TIMESTAMP) AS cohort_day,
+        |  CAST(date_diff('day', f.cd, a.d) AS INTEGER) AS day_offset,
+        |  COUNT(*) AS active_users
+        |FROM f JOIN a USING (user_id)
+        |WHERE date_diff('day', f.cd, a.d) < 14
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB ntile returns BIGINT (Spark: INT) — cast; same total order as
+    // the Spark side's two-level assignment.
+    "q114_price_bins" ->
+      s"""WITH t AS (SELECT l_extendedprice,
+         |  CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+         |    l_linenumber) AS INTEGER) AS bin
+         |FROM lineitem)
+         |SELECT bin, COUNT(*) AS n_rows,
+         |  CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         |  CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+         |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_price
+         |FROM t GROUP BY bin ORDER BY bin""".stripMargin)
 }

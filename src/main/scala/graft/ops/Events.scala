@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** Time-series / event-stream operators, batch-first (SURVEY.md §2.10):
   * tumbling, sliding and session windows over the `events` table, plus
@@ -119,5 +119,79 @@ object Events {
         round(last(col("__sum"), ignoreNulls = true).over(w).cast(DoubleType), 6)
           .as("filled_value"))
       .orderBy("user_id", "hour")
+  }
+
+  /** Ordered conversion funnel: how many users reached each stage, where
+    * reaching stage i+1 means an event of that type STRICTLY AFTER the
+    * user's stage-i time and within `windowHours` of it (first-touch
+    * chaining: each stage's time is the EARLIEST qualifying event).
+    *
+    * Single-pass design: one shuffle keyed on user_id collects the
+    * per-stage timestamp lists (only events of funnel types are kept, so
+    * state per user is bounded by that user's funnel-event count), then
+    * the stage chain is evaluated per user with array expressions —
+    * `array_min(filter(ts_i, t -> prev < t <= prev + window))` — no
+    * self-joins, no re-scan per stage. A null stage time propagates
+    * through the chain, so a user counts toward a stage only if every
+    * earlier stage was reached in order. The final stage counts are one
+    * global aggregate over users. */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase"),
+             windowHours: Int = 24): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val tsCols = stages.indices.map(i => s"__ts_$i")
+    val aggs = stages.zip(tsCols).map { case (st, c) =>
+      collect_list(when(col("event_type") === st, col("ts"))).as(c)
+    }
+    val perUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val win = expr(s"INTERVAL $windowHours HOURS")
+    val chain = tsCols.tail.foldLeft(Vector(array_min(col(tsCols.head)))) {
+      (acc, c) =>
+        val prev = acc.last
+        acc :+ array_min(filter(col(c), t => t > prev && t <= prev + win))
+    }
+    val counted = perUser.agg(
+      count(chain.head).as("__c0"),
+      chain.tail.zipWithIndex.map { case (c, i) => count(c).as(s"__c${i + 1}") }: _*)
+    counted
+      .select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).cast(IntegerType).as("stage_idx"),
+          lit(st).as("stage"), col(s"__c$i").as("users"))
+      }: _*)).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.users").as("users"))
+      .orderBy("stage_idx")
+  }
+
+  /** Cohort retention matrix over `cohortEvent` activity: users are
+    * grouped by the day of their FIRST such event (the cohort), and each
+    * cell counts how many of them were active again `day_offset` days
+    * later, up to `horizonDays`.
+    *
+    * All heavy shuffles are keyed on user_id: one aggregate for the
+    * cohort day, one distinct over (user, day) — activity collapses to
+    * at most one row per user-day BEFORE the join, so the join input is
+    * bounded by users x horizon, not by raw event volume. The final
+    * (cohort_day, day_offset) aggregate is tiny. Per-group state is O(1)
+    * throughout — no windows, no per-user lists — so the plan holds at
+    * any event volume. */
+  def cohortRetention(events: DataFrame,
+                      cohortEvent: String = "purchase",
+                      horizonDays: Int = 14): DataFrame = {
+    val activity = events
+      .filter(col("event_type") === cohortEvent)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val firstDay = activity.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    val activeDays = activity.distinct()
+    firstDay.join(activeDays, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")).cast(IntegerType))
+      .filter(col("day_offset") < horizonDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_day", "day_offset")
   }
 }

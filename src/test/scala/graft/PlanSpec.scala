@@ -221,4 +221,20 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), s"$q: offsets join not broadcast:\n$p")
     }
   }
+
+  test("q114 ntile is two-level: the full-data window is slice-partitioned, offsets broadcast") {
+    // Same scale contract as q48: the row_number over all of lineitem must
+    // be partitioned by __slice (parallelism scales with data); a window
+    // spec ordering the price WITHOUT a partition key — the naive global
+    // ntile, which funnels every row through one task — must not appear on
+    // the big branch. The tiny per-slice offsets frame legitimately uses
+    // unpartitioned windows over at most #slices rows; it is distinguished
+    // by ordering on __slice, not on the price.
+    val naiveWindow = """\[\], \[l_extendedprice#\d+""".r
+    val p = plan("q114_price_bins")
+    assert(p.contains("__slice"), s"q114: slice key missing:\n$p")
+    assert(naiveWindow.findFirstIn(p).isEmpty,
+      s"q114: globally-ordered unpartitioned window over the data survives:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q114: offsets join not broadcast:\n$p")
+  }
 }

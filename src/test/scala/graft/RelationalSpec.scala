@@ -88,4 +88,56 @@ class RelationalSpec extends SparkSpec {
       .count()
     assert(out == expected && expected > 0)
   }
+
+  test("distributed ntileAssign equals Spark's global-window ntile row-for-row") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_orderkey", "l_linenumber")
+    // k=7 does not divide the row count, so both remainder branches of the
+    // bucket formula are exercised.
+    val viaOp = Relational.ntileAssign(
+      li, "l_extendedprice", Seq("l_orderkey", "l_linenumber"), 7)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = li.withColumn("bin", ntile(7).over(w))
+    assert(viaOp.count() == viaWindow.count())
+    assert(viaOp.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaOp).count() == 0)
+  }
+
+  test("funnel: strict ordering and the conversion window gate each stage") {
+    import java.sql.Timestamp
+    def ts(h: Int) = new Timestamp(h * 3600L * 1000L)
+    // u1 completes view->click in-window; its purchase lands 30h after the
+    // click (outside 24h). u2 never clicks. u3 clicks 25h after the view
+    // (outside). u4 clicks BEFORE its first view (wrong order).
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(2), "click"), (1L, ts(33), "purchase"),
+      (2L, ts(0), "view"),
+      (3L, ts(0), "view"), (3L, ts(25), "click"),
+      (4L, ts(5), "click"), (4L, ts(6), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Events.funnel(ev).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out == Map("view" -> 4L, "click" -> 1L, "purchase" -> 0L))
+  }
+
+  test("cohortRetention: cohort day is the first purchase; offsets count distinct active days") {
+    import java.sql.Timestamp
+    def day(d: Int, h: Int = 0) =
+      new Timestamp(((d * 24L + h) * 3600L) * 1000L)
+    // u1: purchases on day0 (twice) and day2 -> cohort day0, offsets {0, 2}.
+    // u2: first purchase day1, again day1 and day3 -> cohort day1, offsets {0, 2}.
+    // Views never count.
+    val ev = Seq(
+      (1L, day(0, 1), "purchase"), (1L, day(0, 5), "purchase"),
+      (1L, day(2), "purchase"), (1L, day(9), "view"),
+      (2L, day(1), "purchase"), (2L, day(1, 7), "purchase"),
+      (2L, day(3), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Events.cohortRetention(ev).collect()
+      .map(r => (r.getTimestamp(0).getTime / 86400000L,
+        r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((0L, 0, 1L), (0L, 2, 1L), (1L, 0, 1L), (1L, 2, 1L)))
+  }
 }
