@@ -812,7 +812,12 @@ object SparkEntry {
     // the distributed two-level assignment (no global single-partition
     // window) — RelationalSpec pins row-level equality with Spark's own
     // ntile, the oracle pins the per-bin profile against DuckDB's ntile.
-    "q114_price_bins" -> ((s, d) => Relational.priceBins(Tables.lineitem(s, d))))
+    "q114_price_bins" -> ((s, d) => Relational.priceBins(Tables.lineitem(s, d))),
+    // Deterministic weighted sample (Efraimidis–Spirakis, md5-derived
+    // uniforms, weight = n_chars): reproducible weighted corpus mixing —
+    // q70's uniform stratified sample generalized to weights.
+    "q115_weighted_sample" -> ((s, d) =>
+      graft.ops.Curation.weightedSample(Tables.documents(s, d), 25)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1821,5 +1826,19 @@ object SparkEntry {
          |  CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
          |  CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
          |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_price
-         |FROM t GROUP BY bin ORDER BY bin""".stripMargin)
+         |FROM t GROUP BY bin ORDER BY bin""".stripMargin,
+    // Same A-ES key as the Spark side: u from the first 13 md5 hex digits
+    // (52 bits — exact in a double in both engines), key = ln(u)/n_chars.
+    // 4503599627370496 = 2^52. One libm ln per row; rank flips would need
+    // two keys within an ulp (q78's ln precedent).
+    "q115_weighted_sample" ->
+      """SELECT doc_id, source, n_chars, sample_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |          AS BIGINT) + 1) / 4503599627370496.0) / n_chars DESC,
+        |        doc_id) AS INTEGER) AS sample_rank
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE sample_rank <= 25
+        |ORDER BY doc_id""".stripMargin)
 }

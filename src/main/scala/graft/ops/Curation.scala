@@ -109,6 +109,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sample without replacement per source —
+    * Efraimidis–Spirakis A-ES: each doc gets key `ln(u) / w` (u a uniform
+    * in (0,1], w its weight) and the top-`perSource` keys win; selection
+    * probability is proportional to weight, and because u is derived from
+    * `md5(doc_id)` instead of `rand()`, the sample is a pure function of
+    * the data — replayable across runs, engines, and partitionings (the
+    * reproducibility contract corpus mixing needs; same rationale as
+    * [[groupSample]], which this generalizes from uniform to weighted).
+    *
+    * u takes the first 13 hex digits of the md5 (52 bits < the 53-bit
+    * double mantissa, so the hex→int→double conversion is EXACT in any
+    * engine; +1 keeps u > 0 for the log). Weight = n_chars: longer docs
+    * are proportionally more likely, the usual token-mass-preserving
+    * choice. One window shuffle keyed by source, O(1) per-group state —
+    * the same scale shape as groupSample. */
+  def weightedSample(documents: DataFrame, perSource: Int): DataFrame = {
+    require(perSource > 0, "perSource must be positive")
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 1) / lit(4503599627370496.0) // 2^52
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__k").desc, col("doc_id"))
+    documents
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars")).as("__k"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perSource)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("sample_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing — the last step of pretraining-data assembly:
     * documents laid head-to-tail per source and cut into fixed
     * `seqLen`-token training sequences. Each document reports the sequence

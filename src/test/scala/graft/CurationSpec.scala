@@ -114,4 +114,38 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
     assert(a.size == 50 + 30) // one full epoch + a partial epoch for ids 0..29
   }
+
+  test("weightedSample matches a from-scratch Efraimidis–Spirakis ranking") {
+    // Ground truth computed independently of Spark: md5 via MessageDigest,
+    // the same 52-bit uniform, key = ln(u)/w, top-k per source.
+    val docsDf = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+    val rows = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    def key(docId: Long, w: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      math.log(u) / w
+    }
+    val k = 7
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy { case (id, _, w) => (-key(id, w), id) }
+        .take(k).zipWithIndex
+        .map { case ((id, _, w), i) => (id, src, w, i + 1) }
+    }.toSet
+    val got = Curation.weightedSample(
+        Tables.documents(spark, sf), k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == expected)
+    // Weighting sanity: the selected docs skew long — their mean length
+    // beats the corpus mean (a uniform sample would match it).
+    val meanAll = rows.map(_._3).sum.toDouble / rows.length
+    val meanSel = got.toSeq.map(_._3).sum.toDouble / got.size
+    assert(meanSel > meanAll,
+      s"weighted sample mean length $meanSel not above corpus mean $meanAll")
+  }
 }
