@@ -752,6 +752,11 @@ object SparkEntry {
     // bench query rather than the whole bench; the full-parameter fit stays
     // pinned in TrainerSpec. Rows-only: GBT fits are not SQL-expressible.
     "q109_gbt_train_score" -> ((s, d) => {
+      // localCheckpoint: the assembled set is re-evaluated three times
+      // downstream (StringIndexer fit pass, GBT fit, test-side transform);
+      // materializing it once turns those into block-manager reads instead
+      // of three runs of the 3-table join. eager=true so the measured wall
+      // still contains the assembly itself.
       val ts = trainingSetAssembly(s, d)
         .withColumn("purchased", (col("l_returnflag") === lit("R")).cast("int"))
         // Feature view: quantity + price numerics, brand categorical. The
@@ -759,6 +764,7 @@ object SparkEntry {
         // features are noise the reference excludes too (exclude_columns).
         .select("l_orderkey", "l_linenumber", "l_quantity", "p_brand",
           "p_retailprice", "s_acctbal", "purchased")
+        .localCheckpoint(true)
       val (train, test) = graft.ml.Trainer.stratifiedSplit(ts, "purchased",
         keyColumns = Seq("l_orderkey", "l_linenumber"))
       val feat = Seq("l_quantity", "p_brand", "p_retailprice", "s_acctbal", "purchased")
@@ -817,7 +823,11 @@ object SparkEntry {
     // uniforms, weight = n_chars): reproducible weighted corpus mixing —
     // q70's uniform stratified sample generalized to weights.
     "q115_weighted_sample" -> ((s, d) =>
-      graft.ops.Curation.weightedSample(Tables.documents(s, d), 25)))
+      graft.ops.Curation.weightedSample(Tables.documents(s, d), 25)),
+    // q112's funnel under flatMapGroupsWithState with window-bounded state
+    // (late-view re-qualification handled by pruning only what can never
+    // qualify again). Settled output == batch funnel == q112's oracle.
+    "q116_stream_funnel" -> ((s, d) => EventStreams.funnelStream(s, d)))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1840,5 +1850,22 @@ object SparkEntry {
         |        doc_id) AS INTEGER) AS sample_rank
         |  FROM documents WHERE n_chars > 0)
         |WHERE sample_rank <= 25
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // The streaming funnel settles to the batch funnel's answer exactly,
+    // so it shares q112's oracle verbatim.
+    "q116_stream_funnel" ->
+      """WITH base AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, MIN(ts) AS t0 FROM base
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT b.user_id, MIN(b.ts) AS t1 FROM base b JOIN v USING (user_id)
+        |  WHERE b.event_type = 'click' AND b.ts > v.t0
+        |    AND b.ts <= v.t0 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT b.user_id, MIN(b.ts) AS t2 FROM base b JOIN c USING (user_id)
+        |  WHERE b.event_type = 'purchase' AND b.ts > c.t1
+        |    AND b.ts <= c.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+        |ORDER BY stage_idx""".stripMargin)
 }

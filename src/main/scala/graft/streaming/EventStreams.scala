@@ -15,6 +15,17 @@ final case class EventRec(event_id: Long, ts: Long, user_id: Long,
   * both tiny and float-drift-free across micro-batches). */
 final case class UserRunningState(n: Long, cents: Long)
 
+/** Per-user funnel state (see [[EventStreams.funnelStream]]): the earliest
+  * view plus only the click/purchase times that could still qualify under
+  * ANY future arrival — bounded by the conversion window, not by event
+  * volume. `nSeen` is the strictly-monotone emission selector. */
+final case class FunnelState(minView: Long, clicks: List[Long],
+    purchases: List[Long], nSeen: Long)
+
+/** Emitted per user per micro-batch: furthest funnel stage reached on the
+  * data seen so far (0 = none, 1 = view, 2 = click, 3 = purchase). */
+final case class FunnelProgress(user_id: Long, n_seen: Long, stage_reached: Int)
+
 /** Emitted per user per micro-batch: totals observed so far. */
 final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
@@ -338,6 +349,104 @@ object EventStreams {
       .start()
     try q.processAllAvailable() finally q.stop()
     settle(spark, name, ss.table(name).orderBy("user_id", "event_type", "hour"))
+  }
+
+  /** Streaming conversion funnel — [[graft.ops.Events.funnel]] run
+    * incrementally under `flatMapGroupsWithState`, settled output equal to
+    * the batch funnel (and therefore to q112's DuckDB oracle) REGARDLESS
+    * of how arrival is carved into micro-batches.
+    *
+    * The interesting part is keeping state bounded under out-of-order
+    * arrival. The chain is t0 = first view, t1 = first click in
+    * (t0, t0+W], t2 = first purchase in (t1, t1+W] — and a late-arriving
+    * EARLIER view moves t0 backward, which can re-qualify clicks that
+    * were previously outside the window. Storing every event would make
+    * state grow with volume; instead the state keeps only what any future
+    * arrival could still need: t0 is monotone non-increasing, so clicks
+    * above t0+W and purchases above t0+2W (since t1 ≤ t0+W always) can
+    * NEVER qualify again and are pruned each batch. State is therefore
+    * bounded by the user's activity inside a 2-window horizon after the
+    * first view — the production-shape bound for funnel analytics.
+    * Emissions carry a strictly-monotone per-user event count; the
+    * settled row is the last emission (max count), recomputed exactly
+    * from pruned state, then folded to the q112 stage-count schema. */
+  def funnelStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      windowHours: Int = 24): DataFrame = {
+    import spark.implicits._
+    require(stages.size == 3, "funnelStream implements the 3-stage chain")
+    val W = windowHours.toLong * 3600L * 1000000000L // nanos
+    val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = ss.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val Seq(sView, sClick, sPurchase) = stages
+    val progress = reader.parquet(sfDir)
+      .filter(col("event_type").isin(stages: _*))
+      .as[EventRec]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EventRec], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Nil, Nil, 0L))
+          var minView = prev.minView
+          var clicks = prev.clicks
+          var purchases = prev.purchases
+          var n = prev.nSeen
+          events.foreach { e =>
+            n += 1
+            e.event_type match {
+              case `sView` => if (e.ts < minView) minView = e.ts
+              case `sClick` => clicks ::= e.ts
+              case `sPurchase` => purchases ::= e.ts
+              case _ => ()
+            }
+          }
+          if (minView != Long.MaxValue) { // guard: MaxValue + W overflows
+            clicks = clicks.filter(_ <= minView + W)
+            purchases = purchases.filter(_ <= minView + 2 * W)
+          }
+          state.update(FunnelState(minView, clicks, purchases, n))
+          val t0 = if (minView == Long.MaxValue) None else Some(minView)
+          val t1 = t0.flatMap(v =>
+            clicks.filter(c => c > v && c <= v + W).minOption)
+          val t2 = t1.flatMap(c =>
+            purchases.filter(p => p > c && p <= c + W).minOption)
+          val stage =
+            if (t2.isDefined) 3 else if (t1.isDefined) 2
+            else if (t0.isDefined) 1 else 0
+          Iterator(FunnelProgress(uid, n, stage))
+      }
+    val q = progress.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val last = ss.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val counted = last.agg(
+      sum(when(col("stage_reached") >= 1, 1L).otherwise(0L)).as("__c0"),
+      sum(when(col("stage_reached") >= 2, 1L).otherwise(0L)).as("__c1"),
+      sum(when(col("stage_reached") >= 3, 1L).otherwise(0L)).as("__c2"))
+    val out = counted
+      .select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).cast(IntegerType).as("stage_idx"),
+          lit(st).as("stage"),
+          coalesce(col(s"__c$i"), lit(0L)).as("users"))
+      }: _*)).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.users").as("users"))
+      .orderBy("stage_idx")
+    settle(spark, name, out)
   }
 
   /** Watermarked stream-stream interval join — the attribution workload:

@@ -130,6 +130,35 @@ class StreamingSpec extends SparkSpec {
     assert(multi == batchTotals.collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming funnel settles to the batch funnel, even with out-of-order multi-batch arrival") {
+    val batch = graft.ops.Events.funnel(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSeq
+
+    val single = EventStreams.funnelStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == batch)
+
+    // Forced multi-batch, carved by id (NOT by time): each batch delivers
+    // an arbitrary interleaving, so later batches contain EARLIER views —
+    // exactly the late-arrival case whose re-qualification the pruned
+    // state must still answer correctly.
+    val dir = tempDir("graft_funnel_multi")
+    val ev = Tables.events(spark, sf)
+    (0 until 3).foreach { i =>
+      val slice = ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    val multi = EventStreams.funnelStream(spark, dir,
+      maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
+    assert(multi == batch)
+  }
+
   test("watermark dedup keeps exactly the distinct key set, even multi-batch") {
     val batchKeys = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
