@@ -93,38 +93,80 @@ object Dedup {
     * filtered sets (identical documents score exactly 1.0). Classic
     * distributed set-similarity join — the shuffle is keyed by shingle, and
     * the stop-shingle filter is what keeps common-shingle skew from going
-    * near-cartesian at scale. Emits pairs with jaccard ≥ `minJaccard`. */
+    * near-cartesian at scale. Emits pairs with jaccard ≥ `minJaccard`.
+    *
+    * Duplication-aware: Jaccard is a pure function of CONTENT, so exact
+    * duplicates are collapsed first (md5 content groups, min-id
+    * representative) and the shingle self-join runs over distinct texts
+    * only; member pairs are expanded back afterwards (cross-group pairs
+    * from the representative verdict, intra-group pairs at jaccard 1.0).
+    * Document frequencies are weighted by group size, so the stop-shingle
+    * cut sees the original corpus — the output is row-identical to the
+    * naive all-docs join (the q28 oracle runs on all docs). On a corpus
+    * with duplication factor d this cuts the quadratic join stage d²×:
+    * the 10x-replicated sf1 sweep spends its wall on output expansion,
+    * not on d²-inflated intersection counting — which is exactly how a
+    * 100 TB web crawl (30-50% exact dups) must run this operator. */
   def ngramJaccardPairs(
       documents: DataFrame,
       n: Int = 3,
       minJaccard: Double = 0.2,
       maxDocFreqFraction: Double = 0.5): DataFrame = {
-    val docShingles = shingled(documents, n)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh"))
+    val members = documents.select(md5(col("text")).as("gid"), col("doc_id"))
+    val groups = members.groupBy(col("gid"))
+      .agg(count(lit(1)).as("gsz"), min(col("doc_id")).as("rid"))
+    val reps = documents.select(col("doc_id"), col("text"))
+      .join(groups.select(col("rid").as("doc_id"), col("gid"), col("gsz")),
+        Seq("doc_id"))
+    val docShingles = shingled(reps, n, extra = Seq("gid", "gsz"))
+      .select(col("gid"), col("gsz"), explode(array_distinct(col("sh"))).as("sh"))
     val total = documents.select(count(lit(1))).first().getLong(0)
     // Stop-shingle filter: a shingle present in most docs produces a
-    // near-cartesian candidate set while carrying no dedup signal.
+    // near-cartesian candidate set while carrying no dedup signal. df
+    // counts ORIGINAL documents (sum of group sizes), not distinct texts.
     val rare = docShingles
-      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("sh")).agg(sum(col("gsz")).as("df"))
       .filter(col("df") <= (total * maxDocFreqFraction).toLong)
-    val filtered = docShingles.join(rare.select("sh"), Seq("sh"))
+    val filtered = docShingles.select(col("sh"), col("gid"))
+      .join(rare.select("sh"), Seq("sh"))
     // Sizes over the filtered universe — numerator and denominator must
     // count the same shingle population or the ratio underestimates
     // (identical docs would score < 1 whenever any shingle is filtered).
-    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("sh"), col("doc_id").as("doc_a"))
-    val b = filtered.select(col("sh"), col("doc_id").as("doc_b"))
+    val sizes = filtered.groupBy(col("gid")).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("sh"), col("gid").as("gid_a"))
+    val b = filtered.select(col("sh"), col("gid").as("gid_b"))
     val inter = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .filter(col("gid_a") < col("gid_b"))
+      .groupBy(col("gid_a"), col("gid_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    val repPairs = inter
+      .join(sizes.select(col("gid").as("gid_a"), col("n_sh").as("n_a")), Seq("gid_a"))
+      .join(sizes.select(col("gid").as("gid_b"), col("n_sh").as("n_b")), Seq("gid_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .select("gid_a", "gid_b", "n_common", "jaccard")
+    // Cross-group expansion: every member pair inherits the representative
+    // verdict (the integers n_common/n_a/n_b are the same, so the double
+    // is bit-identical to the naive join's).
+    val cross = repPairs
+      .join(members.select(col("gid").as("gid_a"), col("doc_id").as("__ida")), Seq("gid_a"))
+      .join(members.select(col("gid").as("gid_b"), col("doc_id").as("__idb")), Seq("gid_b"))
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"),
+        col("n_common"), col("jaccard"))
+    // Intra-group expansion: identical texts share the full filtered set —
+    // jaccard exactly 1.0 — unless that set is EMPTY (0/0), where the
+    // naive join emits nothing (no shared shingle rows); the n_sh join
+    // (inner, over filtered-universe sizes) drops those groups here too.
+    val m1 = members.select(col("gid"), col("doc_id").as("__ida"))
+    val m2 = members.select(col("gid"), col("doc_id").as("__idb"))
+    val intra = m1.join(m2, Seq("gid"))
+      .filter(col("__ida") < col("__idb"))
+      .join(sizes, Seq("gid"))
+      .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
+        col("n_sh").as("n_common"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -441,8 +483,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** End-to-end MinHash near-dup dedup: pairs → clusters → representatives. */
-  def minHashDedup(documents: DataFrame, n: Int = 3, maxDistance: Double = 0.6): DataFrame =
-    clusterPairs(documents, minHashPairs(documents, n, maxDistance))
+  /** End-to-end MinHash near-dup dedup: pairs → clusters → representatives.
+    *
+    * Duplication-aware, like [[ngramJaccardPairs]]: Jaccard distance is a
+    * pure function of content, so exact-duplicate texts are collapsed to
+    * one representative (md5 groups, min-id rep) BEFORE the banded join —
+    * identical copies share every band, so on a corpus with duplication
+    * factor d the naive candidate set carries d² rows per near-dup pair
+    * (the 30x sweep measured 52 s of exactly that). Components are
+    * invariant under the collapse: copies are at distance 0 from their
+    * rep (full connection inside a group), and any cross-group member
+    * pair is similar iff the reps are, so expanding each member to its
+    * rep's cluster label reproduces the naive output row-for-row. The rep
+    * label is already the min doc_id of its component's members (each rep
+    * is its group's min id, the label is the min rep id). */
+  def minHashDedup(documents: DataFrame, n: Int = 3, maxDistance: Double = 0.6): DataFrame = {
+    val members = documents.select(md5(col("text")).as("gid"), col("doc_id"))
+    val groups = members.groupBy(col("gid")).agg(min(col("doc_id")).as("rid"))
+    val reps = documents.select(col("doc_id"), col("text"))
+      .join(groups.select(col("rid").as("doc_id"), col("gid")), Seq("doc_id"))
+    val repLabels = clusterPairs(reps, minHashPairs(reps, n, maxDistance))
+      .select(col("doc_id").as("rid"), col("cluster_id"))
+    members
+      .join(groups, Seq("gid"))
+      .join(repLabels, Seq("rid"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_representative"))
+      .orderBy("doc_id")
+  }
 
 }

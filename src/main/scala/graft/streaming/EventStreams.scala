@@ -329,7 +329,7 @@ object EventStreams {
     * no key can ever re-emit; StreamingSpec also replays it multi-batch). */
   def watermarkDedupStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val name = s"graft_stream_wmdedup_${runId.incrementAndGet()}"
+    val id = runId.incrementAndGet()
     val ss = streamSession(spark)
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = ss.readStream
@@ -342,13 +342,24 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
       .select(col("user_id"), col("event_type"), col("hour"))
+    // This sink's output is the distinct KEY SET — it grows linearly with
+    // users × hours, unlike every other settled sink here (bounded
+    // aggregates). The memory sink would funnel it through the driver
+    // (settle's cap rightly refused it at the 30x sweep, ~3M rows), so it
+    // streams to a distributed FILE sink instead and is read back as an
+    // ordinary parquet scan — end-to-end distributed, no driver collect,
+    // which is how a production job would land it anyway.
+    val sinkDir = graft.WorkDirs.fresh(s"stream_wmdedup_sink_$id")
+    val chkDir = graft.WorkDirs.fresh(s"stream_wmdedup_chk_$id")
     val q = deduped.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
       .start()
     try q.processAllAvailable() finally q.stop()
-    settle(spark, name, ss.table(name).orderBy("user_id", "event_type", "hour"))
+    spark.read.schema(deduped.schema).parquet(sinkDir)
+      .orderBy("user_id", "event_type", "hour")
   }
 
   /** Streaming conversion funnel — [[graft.ops.Events.funnel]] run
