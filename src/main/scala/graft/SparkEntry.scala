@@ -345,14 +345,8 @@ object SparkEntry {
     // via iterative hash-to-min label propagation; every vector gets its
     // component's min id as cluster_id, the min member is representative.
     // Oracle: recursive-CTE transitive closure over the same pair set.
-    "q69_embedding_clusters" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      Dedup.clusterPairs(emb.select(col("vec_id").as("doc_id")), pairs)
-        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_representative"))
-        .orderBy("vec_id")
-    }),
+    "q69_embedding_clusters" -> ((s, d) =>
+      Similarity.embeddingClusters(Tables.embeddings(s, d), 0.4)),
     // Hive-style partitioned feature table: a predicate on the partition
     // column prunes to one directory at planning time (PartitionFilters in
     // the scan — asserted by PlanSpec) — the layout that turns a 100 TB

@@ -602,4 +602,40 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
     thresholdedPairs(cands, minCosine, roundDigits = 6)
   }
+
+  /** Connected-component clustering of the cosine ≥ `minCosine` pair graph:
+    * every vector labeled with its component's min vec_id (q69).
+    *
+    * Duplication-aware, same argument as
+    * [[graft.dedup.Dedup.minHashDedup]]: cosine is a pure function of the
+    * vector values, so byte-identical embeddings are collapsed BEFORE the
+    * quadratic pair stage — the group key is the embedding array ITSELF
+    * (exact equality, no hash), the pair graph runs over distinct vectors
+    * only, and members inherit their representative's component label. A
+    * duplicate d-clique contributes d²/2 edges to the naive graph (the
+    * 30x sweep measured q69's edge set growing 9.7x for 3x data); here it
+    * contributes one node. Components are invariant: cosine(v, v) = 1 ≥
+    * any threshold, so copies are fully connected to their rep — EXCEPT
+    * the zero vector, whose self-cosine is NaN (0/0): the naive graph
+    * leaves every zero-vector copy a singleton, so zero-norm members keep
+    * their own id as the label instead of inheriting the rep's. */
+  def embeddingClusters(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val groups = embeddings.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rid"))
+    val reps = groups.select(col("rid").as("vec_id"), col("embedding"))
+    val pairs = cosineNearDupPairs(reps, minCosine)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val repLabels = graft.dedup.Dedup.clusterPairs(
+        reps.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("rid"), col("cluster_id"))
+    val zeroNorm = expr(
+      "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") === 0.0
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(groups, Seq("embedding"))
+      .join(repLabels, Seq("rid"))
+      .select(col("vec_id"),
+        when(zeroNorm, col("vec_id")).otherwise(col("cluster_id")).as("cluster_id"))
+      .withColumn("is_representative", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
 }

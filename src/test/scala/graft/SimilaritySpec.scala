@@ -308,4 +308,22 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
       assert(r >= 0.5, s"$m recall@20 = $r below the 0.5 floor")
     }
   }
+
+  test("duplication-aware embeddingClusters equals the naive pair-graph clustering") {
+    // Adversarial frame: every vector duplicated (shifted ids), so the
+    // naive pair graph gains a 2-clique per vector plus 4x the cross
+    // edges — the collapse must reproduce its components exactly.
+    val emb = Tables.embeddings(spark, sf)
+    val dup = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val naivePairs = Similarity.cosineNearDupPairs(dup, 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val naive = graft.dedup.Dedup.clusterPairs(
+        dup.select(col("vec_id").as("doc_id")), naivePairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_representative"))
+    val aware = Similarity.embeddingClusters(dup, 0.4)
+    assert(aware.count() == naive.count())
+    assert(aware.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(aware).count() == 0)
+  }
 }
