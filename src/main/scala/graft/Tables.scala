@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated parquet star schema
   * (/root/testdata/sf*; see TESTDATA.md / FIXTURES.md §2).
@@ -24,13 +25,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot map to its microsecond TimestampType (PARQUET_TYPE_ILLEGAL).
-    * Read nanos as long (legacy conf) and floor-divide to microseconds —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. */
+  /** The events fixture has shipped with two physical `ts` encodings across
+    * driver generations: parquet TIMESTAMP(NANOS) — which Spark can only
+    * read as raw int64 via the legacy conf (PARQUET_TYPE_ILLEGAL otherwise)
+    * — and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which reads
+    * as TIMESTAMP_NTZ. Normalize both to session TimestampType so every
+    * consumer is encoding-agnostic: nanos floor-divide to micros (the same
+    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP), and NTZ
+    * casts 1:1 under the fixed UTC session zone. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType (see [[events]]). */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** Typed view of an events row for stateful streaming (`ts` is raw nanos). */
+/** Typed view of an events row for stateful streaming (`ts` is epoch
+  * MICROS — the normalized form [[EventStreams.eventsStream]] produces
+  * regardless of the fixture's physical encoding). */
 final case class EventRec(event_id: Long, ts: Long, user_id: Long,
     event_type: String, value: Double, props: String)
 
@@ -37,14 +39,37 @@ final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
   */
 object EventStreams {
 
-  /** `ts` arrives as raw nanos (long) — see [[graft.Tables.events]]. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Open the events fixture as a file stream with `ts` normalized to
+    * TimestampType, whatever the physical encoding on disk — the fixture
+    * has shipped as both TIMESTAMP(NANOS) (readable only as raw int64 via
+    * the legacy conf) and TIMESTAMP(MICROS)/NTZ across driver generations.
+    * The on-disk schema is resolved by ONE batch footer read (metadata
+    * only, no data scan) and fed verbatim to the file-stream source, which
+    * requires an explicit schema; [[graft.Tables.normalizeEventTs]] then
+    * maps either form onto the same TimestampType column, so every stream
+    * below is encoding-agnostic.
+    *
+    * The fixture is a single parquet file; the file stream source requires
+    * a directory, so stream the parent dir with a glob filter (the pattern
+    * also admits multi-file fixtures, e.g. events_0/events_1.parquet). */
+  private[streaming] def eventsStream(ss: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = ss.read.option("pathGlobFilter", "events*.parquet")
+      .parquet(sfDir).schema
+    val reader = ss.readStream
+      .schema(onDisk)
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.Tables.normalizeEventTs(reader.parquet(sfDir))
+  }
+
+  /** [[eventsStream]] with `ts` folded to epoch micros (Long) so typed
+    * `as[EventRec]` state pipelines get a stable primitive event time. */
+  private[streaming] def eventsStreamMicros(ss: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    eventsStream(ss, sfDir, maxFilesPerTrigger)
+      .withColumn("ts", unix_micros(col("ts")))
 
   private val runId = new AtomicInteger(0)
 
@@ -69,15 +94,7 @@ object EventStreams {
   def tumblingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The fixture is a single parquet file; the file stream source requires
-    // a directory, so stream the parent dir with a glob filter (the pattern
-    // also admits multi-file fixtures, e.g. events_0.parquet/events_1.parquet).
-    val stream = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(ss, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
@@ -113,13 +130,7 @@ object EventStreams {
     import spark.implicits._
     val name = s"graft_stream_state_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val totals = reader
-      .parquet(sfDir)
+    val totals = eventsStreamMicros(ss, sfDir, maxFilesPerTrigger)
       .as[EventRec]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRunningState, UserTotals](
@@ -159,12 +170,7 @@ object EventStreams {
   def slidingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_sliding_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(ss, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -191,15 +197,9 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = graft.Tables.customer(ss, sfDir).select(
       col("c_custkey").as("user_id"), col("c_mktsegment"))
-    val reader = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader
-      .parquet(sfDir)
+    val stream = eventsStream(ss, sfDir, maxFilesPerTrigger)
       .join(broadcast(dim), Seq("user_id"))
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -226,13 +226,7 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(ss, sfDir, maxFilesPerTrigger)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(
@@ -286,16 +280,10 @@ object EventStreams {
     import spark.implicits._
     val name = s"graft_stream_tws_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // transformWithState is only supported on the RocksDB state store.
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val reader = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val totals = reader
-      .parquet(sfDir)
+    val totals = eventsStreamMicros(ss, sfDir, maxFilesPerTrigger)
       .as[EventRec]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
@@ -331,13 +319,7 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val id = runId.incrementAndGet()
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val deduped = reader.parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = eventsStream(ss, sfDir, maxFilesPerTrigger)
       .withColumn("hour", date_trunc("hour", col("ts")))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
@@ -387,16 +369,11 @@ object EventStreams {
       windowHours: Int = 24): DataFrame = {
     import spark.implicits._
     require(stages.size == 3, "funnelStream implements the 3-stage chain")
-    val W = windowHours.toLong * 3600L * 1000000000L // nanos
+    val W = windowHours.toLong * 3600L * 1000000L // micros (EventRec.ts)
     val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = ss.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val Seq(sView, sClick, sPurchase) = stages
-    val progress = reader.parquet(sfDir)
+    val progress = eventsStreamMicros(ss, sfDir, maxFilesPerTrigger)
       .filter(col("event_type").isin(stages: _*))
       .as[EventRec]
       .groupByKey(_.user_id)
@@ -480,14 +457,8 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_join_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tag: String, eventType: String): DataFrame = {
-      val reader = ss.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events*.parquet")
-      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-      reader.parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      eventsStream(ss, sfDir, maxFilesPerTrigger)
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(s"${tag}_id"),
           col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))

@@ -49,18 +49,13 @@ object FeatureMaterialization {
   def userTotalsMaterialized(spark: SparkSession, sfDir: String,
       store: FeatureStore, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ss = EventStreams.streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Register the target table up front (empty, schema-only) so the
     // stream upserts into a declared PK contract rather than inventing one.
     store.createTable(TotalsTable, Seq("user_id"),
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], totalsSchema),
       "per-user event totals, continuously refreshed from the event stream")
 
-    val reader = ss.readStream
-      .schema(EventStreams.eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val totals = reader.parquet(sfDir)
+    val totals = EventStreams.eventsStream(ss, sfDir, maxFilesPerTrigger)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
