@@ -821,7 +821,16 @@ object SparkEntry {
     // q112's funnel under flatMapGroupsWithState with window-bounded state
     // (late-view re-qualification handled by pruning only what can never
     // qualify again). Settled output == batch funnel == q112's oracle.
-    "q116_stream_funnel" -> ((s, d) => EventStreams.funnelStream(s, d)))
+    "q116_stream_funnel" -> ((s, d) => EventStreams.funnelStream(s, d)),
+    // Audio featurization: PCM16 "decode" (deterministic synth stub —
+    // integer-exact, documented) → overlapping 512/256 frame energies,
+    // peak frame, zero crossings. All BIGINT math, so unlike the other
+    // multimodal stubs this one carries a FULL oracle: DuckDB recomputes
+    // the same signal from the formula and the result is hash-checked.
+    "q117_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(s,
+        Multimodal.audioFromDocuments(s, Tables.documents(s, d))).toDF()
+        .orderBy("media_id")))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1845,6 +1854,45 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0)
         |WHERE sample_rank <= 25
         |ORDER BY doc_id""".stripMargin,
+    // Recomputes q117's synthetic PCM from its generating formula (the
+    // Spark side decodes the same signal from the binary payload) and
+    // mirrors the framing arithmetic: each sample lands in candidate
+    // frames i//256 and i//256 - 1 (hop 256, width 512 ⇒ every sample is
+    // in exactly those ≤2), filtered to valid frame ids. Integer-only, so
+    // the hash match is exact. generate_series can't take a lateral bound
+    // here — fixed 0..3071 (the max clip length) filtered by i < n.
+    "q117_audio_features" ->
+      """WITH docs AS (SELECT doc_id, CAST(2048 + doc_id % 1024 AS BIGINT) AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT d.doc_id, d.n, g.i,
+        |    ((d.doc_id*31 + g.i*g.i*7) % 65536) - 32768 AS s
+        |  FROM docs d, generate_series(0, 3071) AS g(i) WHERE g.i < d.n),
+        |zcq AS (
+        |  SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN s * ns < 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_zero_cross
+        |  FROM (SELECT doc_id, i, s,
+        |      lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS ns FROM samp)
+        |  GROUP BY doc_id),
+        |fr AS (
+        |  SELECT doc_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+        |  FROM (
+        |    SELECT doc_id, n, i, s, i // 256 AS f FROM samp
+        |    UNION ALL
+        |    SELECT doc_id, n, i, s, i // 256 - 1 AS f FROM samp)
+        |  WHERE f >= 0 AND f <= (n - 512) // 256
+        |  GROUP BY doc_id, f),
+        |agg AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total_energy
+        |  FROM fr GROUP BY doc_id),
+        |pk AS (SELECT doc_id, f AS peak_frame, e AS peak_energy FROM (
+        |   SELECT doc_id, f, e, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY e DESC, f) AS rn FROM fr) WHERE rn = 1)
+        |SELECT d.doc_id AS media_id, d.n AS n_samples,
+        |  (d.n - 512) // 256 + 1 AS n_frames, a.total_energy,
+        |  p.peak_frame, p.peak_energy, z.n_zero_cross
+        |FROM docs d JOIN agg a USING (doc_id) JOIN pk p USING (doc_id)
+        |  JOIN zcq z ON z.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
     // The streaming funnel settles to the batch funnel's answer exactly,
     // so it shares q112's oracle verbatim.
     "q116_stream_funnel" ->

@@ -180,6 +180,112 @@ object Multimodal {
       }
   }
 
+  /** An audio row: PCM payload + the typed metadata a real ingest carries. */
+  final case class AudioRow(media_id: Long, payload: Array[Byte],
+      sample_rate: Int, n_bytes: Long)
+
+  /** Per-clip audio features, all integer-exact (see [[audioFeatures]]). */
+  final case class AudioFeatures(media_id: Long, n_samples: Long,
+      n_frames: Long, total_energy: Long, peak_frame: Long,
+      peak_energy: Long, n_zero_cross: Long)
+
+  /** Deterministic 16-bit little-endian PCM synth — the STUB "decoder
+    * output" for audio (a bare JVM ships no audio codecs; javax.sound
+    * handles WAV headers but the fixture has no real recordings). Sample i
+    * of clip `id` is `((id*31 + i²*7) mod 65536) - 32768` — a quadratic
+    * chirp whose wrap rate grows with i, so zero crossings and frame
+    * energies genuinely vary per clip: pure integer
+    * arithmetic, so the downstream feature pipeline is exactly
+    * reproducible by any engine — the DuckDB oracle recomputes the same
+    * signal from the formula and q117 is hash-checked end-to-end, unlike a
+    * rows-only stub. A production build replaces this with the codec's
+    * PCM output; every byte past this function is real plumbing. */
+  private[multimodal] def synthPcm(id: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt
+      out(2 * i) = (s & 0xFF).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Manufacture an audio table from the documents fixture: one synthetic
+    * PCM16 clip per document, 2048 + (doc_id mod 1024) samples (clip
+    * lengths vary so framing edge cases are exercised). In production this
+    * column comes straight from parquet `binary`. Partition-batched like
+    * every codec path here. */
+  def audioFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (2048 + id % 1024).toInt
+        val pcm = synthPcm(id, n)
+        AudioRow(id, pcm, 16000, pcm.length.toLong)
+      }
+    }
+  }
+
+  /** Frame/hop sizes for [[audioFeatures]] — the standard 32 ms / 16 ms
+    * split at 16 kHz. */
+  val AudioFrameSamples = 512
+  val AudioHopSamples = 256
+
+  /** Partition-batched audio featurization over opaque PCM16 payloads —
+    * the audio analog of [[extractFeatures]]: decode bytes → samples, cut
+    * into overlapping 512-sample frames at hop 256, and report per clip
+    *   n_samples, n_frames, total frame energy (sum over frames of
+    *   sum(s²) — overlap double-counts by construction, as framed
+    *   spectral pipelines do), the peak frame (lowest index wins ties)
+    *   and its energy, and the signal's strict zero-crossing count
+    *   (s[i]·s[i+1] < 0).
+    * Everything is 64-bit integer math (|s| ≤ 2^15 ⇒ a frame sums to
+    * < 2^39; a clip to < 2^43) — no float drift, so results are exact and
+    * engine-independent. One pass per payload, no shuffle at all until
+    * the caller aggregates: the scale shape is a map-only job over
+    * whatever partitioning the binary column arrived with. */
+  def audioFeatures(spark: SparkSession, audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.mapPartitions { rows =>
+      // Real codec/DSP setup (FFT plans, decoder contexts) would
+      // initialize once per partition here.
+      rows.map { a =>
+        val bytes = a.payload
+        val n = bytes.length / 2
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          s(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        val nFrames = if (n >= AudioFrameSamples)
+          (n - AudioFrameSamples) / AudioHopSamples + 1 else 0
+        var total = 0L
+        var peak = 0L
+        var peakF = 0L
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var j = f * AudioHopSamples
+          val end = j + AudioFrameSamples
+          while (j < end) { e += s(j).toLong * s(j); j += 1 }
+          total += e
+          if (e > peak) { peak = e; peakF = f.toLong }
+          f += 1
+        }
+        var zc = 0L
+        i = 0
+        while (i < n - 1) {
+          if (s(i).toLong * s(i + 1) < 0) zc += 1
+          i += 1
+        }
+        AudioFeatures(a.media_id, n.toLong, nFrames.toLong, total, peakF, peak, zc)
+      }
+    }
+  }
+
   /** End-to-end: media table → features → per-mime stats (exercises the
     * typed path back into relational aggregation). */
   def mediaFeatureStats(spark: SparkSession, documents: DataFrame, dim: Int = 16): DataFrame = {

@@ -97,6 +97,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("audio synth PCM is exact little-endian int16 of the chirp formula") {
+    import spark.implicits._
+    val id = 5L
+    val docs = Seq((id, "x")).toDF("doc_id", "text")
+    val row = Multimodal.audioFromDocuments(spark, docs).collect().head
+    val n = (2048 + id % 1024).toInt
+    assert(row.media_id == id && row.sample_rate == 16000)
+    assert(row.payload.length == 2 * n && row.n_bytes == 2L * n)
+    (0 until n).foreach { i =>
+      val want = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt
+      val got = ((row.payload(2 * i) & 0xFF) | (row.payload(2 * i + 1) << 8)).toShort.toInt
+      assert(got == want, s"sample $i: $got != $want")
+    }
+  }
+
+  test("audio features match a naive reference loop on a hand-built clip") {
+    import spark.implicits._
+    // 1200 samples: enough for 3 overlapping 512/256 frames (starts 0, 256,
+    // 512); values vary sign so zero-crossings are non-trivial.
+    val s = Array.tabulate(1200)(i => ((i * 37) % 257) - 128)
+    val pcm = new Array[Byte](2400)
+    s.indices.foreach { i =>
+      pcm(2 * i) = (s(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((s(i) >> 8) & 0xFF).toByte
+    }
+    // Independent naive computation (straight loops, no shared code).
+    val frames = (0 to 2).map { f =>
+      (f * 256 until f * 256 + 512).map(i => s(i).toLong * s(i)).sum
+    }
+    val wantTotal = frames.sum
+    val wantPeak = frames.max
+    val wantPeakF = frames.indexOf(wantPeak).toLong
+    val wantZc = (0 until 1199).count(i => s(i).toLong * s(i + 1) < 0).toLong
+    val audio = Seq(Multimodal.AudioRow(42L, pcm, 16000, 2400L)).toDS()
+    val got = Multimodal.audioFeatures(spark, audio).collect().head
+    assert(got.n_samples == 1200L && got.n_frames == 3L)
+    assert(got.total_energy == wantTotal && got.peak_energy == wantPeak)
+    assert(got.peak_frame == wantPeakF && got.n_zero_cross == wantZc)
+    // Sub-frame clips report zero frames, not an error.
+    val tiny = Seq(Multimodal.AudioRow(1L, pcm.take(100), 16000, 100L)).toDS()
+    val t = Multimodal.audioFeatures(spark, tiny).collect().head
+    assert(t.n_samples == 50L && t.n_frames == 0L && t.total_energy == 0L)
+  }
+
   test("streaming tumbling aggregation equals the batch result") {
     val streamed = EventStreams.tumblingHourlyStream(spark, sf)
       .select("window_start", "n_events", "sum_value").collect()
