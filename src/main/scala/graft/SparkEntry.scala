@@ -830,7 +830,54 @@ object SparkEntry {
     "q117_audio_features" -> ((s, d) =>
       Multimodal.audioFeatures(s,
         Multimodal.audioFromDocuments(s, Tables.documents(s, d))).toDF()
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+    // Deterministic training-order assignment: md5-bucketed shard + ranked
+    // position — the reproducible global shuffle ahead of shard writes.
+    "q118_training_shards" -> ((s, d) =>
+      graft.ops.Curation.trainingShards(Tables.documents(s, d), 8)),
+    // Identifier PII redaction audit: anchored-regex detect + mask
+    // (map-side, codegen'd), per-segment counts and masked extremes.
+    "q119_pii_mask" -> ((s, d) =>
+      graft.ops.Redaction.customerIdRedactionAudit(Tables.customer(s, d))),
+    // Table maintenance end-to-end (OPTIMIZE + VACUUM analog): fragment a
+    // store table with repeated upserts, compact to one file, vacuum
+    // retention to the newest snapshot, and report per-stage file/version
+    // counts with the row count proving data is untouched throughout.
+    // Rows-only: file layout is engine-internal, not SQL-expressible.
+    "q120_table_maintenance" -> ((s, d) => {
+      val dir = WorkDirs.fresh("q120_maint_store")
+      val store = new FeatureStore(s, dir)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      store.createTable("cust_maint", Seq("c_custkey"), cust)
+      def dataFiles(): Long = {
+        val p = new org.apache.hadoop.fs.Path(store.getTable("cust_maint").path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      (0 until 3).foreach { i =>
+        store.upsert("cust_maint",
+          cust.filter(pmod(col("c_custkey"), lit(97L)) === lit(i.toLong))
+            .withColumn("c_acctbal", col("c_acctbal") + lit(1.0)))
+      }
+      val filesFrag = dataFiles()
+      val versFrag = store.versions("cust_maint").size.toLong
+      store.compact("cust_maint", 1)
+      val filesComp = dataFiles()
+      val versComp = store.versions("cust_maint").size.toLong
+      store.vacuum("cust_maint", 1)
+      val filesVac = dataFiles()
+      val versVac = store.versions("cust_maint").size.toLong
+      val nRows = store.readTable("cust_maint").count()
+      import s.implicits._
+      Seq(
+        ("1_fragmented", filesFrag, versFrag, nRows),
+        ("2_compacted", filesComp, versComp, nRows),
+        ("3_vacuumed", filesVac, versVac, nRows))
+        .toDF("stage", "n_files", "n_versions", "n_rows")
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1893,6 +1940,31 @@ object SparkEntry {
         |FROM docs d JOIN agg a USING (doc_id) JOIN pk p USING (doc_id)
         |  JOIN zcq z ON z.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+    // Same md5-derived shard/rank as the Spark side: first 8 md5 hex
+    // digits → 32-bit bucket mod 8; position ranks the full digest within
+    // the shard (q70/q115's md5-permutation precedent).
+    "q118_training_shards" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, source, h,
+        |    CAST(CAST('0x' || substring(h, 1, 8) AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM t)
+        |SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) - 1 AS position
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Anchored regexes are RE2-safe, so java.util.regex and DuckDB RE2
+    // agree on every match; masking replaces the single anchored prefix.
+    "q119_pii_mask" ->
+      """WITH m AS (SELECT c_mktsegment,
+        |    regexp_matches(c_name, '^Customer#[0-9]{9}$') AS hit,
+        |    regexp_replace(c_name,
+        |      '^Customer#[0-9]{5}', 'Customer#*****') AS masked
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_id_detected,
+        |  MIN(masked) AS min_masked, MAX(masked) AS max_masked
+        |FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // The streaming funnel settles to the batch funnel's answer exactly,
     // so it shares q112's oracle verbatim.
     "q116_stream_funnel" ->

@@ -244,6 +244,32 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
       .sorted
   }
 
+  /** Explicitly prune snapshot retention to the newest `retainLast`
+    * versions — the Delta `VACUUM` analog, completing the lifecycle story:
+    * [[rewriteInPlace]] already bounds retention on every write
+    * (`maxVersionsRetained`), but storage reclamation is also an
+    * OPERATION a table owner schedules ("drop time travel beyond N now",
+    * e.g. before handing a path to another team). Returns the pruned
+    * version ids. History is NOT pruned — the audit log stays a complete
+    * record ([[history]] shows the vacuum itself); time travel to a
+    * vacuumed version now fails loudly in [[readTableVersion]].
+    *
+    * Cost shape: pure metadata + directory deletes on the driver — no
+    * data job, no scan; at 100 TB this is the same O(#versions) FS call
+    * pattern a real lakehouse VACUUM's manifest pass has. */
+  def vacuum(name: String, retainLast: Int): Seq[Long] = {
+    require(retainLast >= 0, s"retainLast must be >= 0, got $retainLast")
+    getTable(name) // existence check — vacuuming an unknown table is an error
+    val doomed = versions(name).dropRight(retainLast)
+    val fs = new org.apache.hadoop.fs.Path(versionsRoot(name))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionPath(name, v)), true)
+    }
+    appendHistory(name, "vacuum", None)
+    doomed
+  }
+
   /** Read a retained snapshot — the table as it was BEFORE the mutation
     * that created version `v` completed (Delta `VERSION AS OF` analog). */
   def readTableVersion(name: String, version: Long): DataFrame = {

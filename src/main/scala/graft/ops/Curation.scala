@@ -140,6 +140,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic training-order assignment — the global-shuffle step of
+    * pretraining-data assembly: writers need documents permuted (no
+    * source/time runs survive into a training batch) and laid out in K
+    * shard files, and the layout must be REPRODUCIBLE so a re-run of the
+    * pipeline regenerates byte-identical shards. Both come from one
+    * md5-derived key: shard = first-32-bits(md5(doc_id)) mod K — placement
+    * is a pure function of the key, no coordination, uniform across
+    * shards — and position = rank of the full md5 inside the shard (a
+    * seedless permutation; adjacent doc_ids land far apart).
+    *
+    * Scale shape: ONE shuffle keyed by shard; each shard's window ranks
+    * only its own ~N/K slice, so parallelism is K (pick K ≈ the writer
+    * parallelism you want — at 100 TB that's thousands of shards, not
+    * #sources). The md5 rank inside a window is the same
+    * partition-independent ordering [[groupSample]] relies on. */
+  def trainingShards(documents: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), h.as("__h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("position", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("source"), col("shard"), col("position"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing — the last step of pretraining-data assembly:
     * documents laid head-to-tail per source and cut into fixed
     * `seqLen`-token training sequences. Each document reports the sequence

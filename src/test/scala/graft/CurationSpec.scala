@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Curation
 
 class CurationSpec extends SparkSpec {
@@ -147,5 +149,51 @@ class CurationSpec extends SparkSpec {
     val meanSel = got.toSeq.map(_._3).sum.toDouble / got.size
     assert(meanSel > meanAll,
       s"weighted sample mean length $meanSel not above corpus mean $meanAll")
+  }
+
+  test("training shards: total permutation, contiguous positions, partition-independent") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val shards = Curation.trainingShards(docs, 8)
+    val rows = shards.collect().map(r =>
+      (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(rows.length == n.toInt)                  // every doc placed once
+    assert(rows.map(_._2).forall(s => s >= 0 && s < 8))
+    // Positions within each shard are exactly 0..size-1 (a permutation,
+    // no gaps or duplicates).
+    rows.groupBy(_._2).foreach { case (shard, ds) =>
+      val pos = ds.map(_._3).sorted.toSeq
+      assert(pos == (0L until ds.length.toLong),
+        s"shard $shard positions not contiguous")
+    }
+    // No shard is empty and none hogs the corpus (md5 uniformity at n=500).
+    val sizes = rows.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 8 && sizes.min > 20)
+    // The layout is a pure function of the data: any input partitioning
+    // yields the identical assignment.
+    val again = Curation.trainingShards(docs.repartition(7), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("identifier redaction masks the prefix and detects the account layout") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Customer#000001234"),
+      (2L, "not-an-account"),
+      (3L, "Customer#000056789"))
+      .toDF("c_custkey", "c_name")
+    val got = df.select(col("c_name"),
+        graft.ops.Redaction.maskCustomerId(col("c_name")).as("masked"),
+        col("c_name").rlike(graft.ops.Redaction.CustomerIdPattern).as("hit"))
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(("Customer#*****1234", true),
+      ("not-an-account", false), ("Customer#*****6789", true)))
+    val audit = graft.ops.Redaction.customerIdRedactionAudit(
+      Tables.customer(spark, sf)).collect()
+    // Every fixture identifier matches the layout, so detection == count,
+    // and no unmasked 9-digit identifier survives in the audit sample.
+    assert(audit.forall(r => r.getLong(1) == r.getLong(2)))
+    assert(audit.forall(r => r.getString(3).startsWith("Customer#*****")))
   }
 }

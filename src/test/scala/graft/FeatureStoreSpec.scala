@@ -156,6 +156,31 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.getTable("compact_tbl").primaryKeys == Seq("id"))
   }
 
+  test("vacuum prunes retained versions, keeps history, fails stale time travel loudly") {
+    import spark.implicits._
+    store.createTable("vac_tbl", Seq("id"), Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // Three mutations → three retained snapshots.
+    (1 to 3).foreach(i => store.upsert("vac_tbl", Seq((1, s"a$i")).toDF("id", "v")))
+    assert(store.versions("vac_tbl") == Seq(1L, 2L, 3L))
+    val current = store.readTable("vac_tbl").orderBy("id").collect().toSeq
+    val pruned = store.vacuum("vac_tbl", 1)
+    assert(pruned == Seq(1L, 2L))
+    assert(store.versions("vac_tbl") == Seq(3L))
+    // Current state untouched; surviving snapshot still readable.
+    assert(store.readTable("vac_tbl").orderBy("id").collect().toSeq == current)
+    assert(store.readTableVersion("vac_tbl", 3L).count() == 2L)
+    // Time travel to a vacuumed version fails with a clear message.
+    val e = intercept[IllegalArgumentException] {
+      store.readTableVersion("vac_tbl", 1L)
+    }
+    assert(e.getMessage.contains("not retained"))
+    // The audit log is complete: mutations AND the vacuum itself.
+    assert(store.history("vac_tbl").map(_.op) ==
+      Seq("create", "upsert", "upsert", "upsert", "vacuum"))
+    // Vacuuming an unknown table is an error, not a no-op.
+    intercept[Exception] { store.vacuum("no_such_tbl", 1) }
+  }
+
   test("upsert preserves a partitioned table's layout") {
     import spark.implicits._
     store.createTable("upsert_part_tbl", Seq("id"),
