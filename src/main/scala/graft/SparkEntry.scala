@@ -877,7 +877,14 @@ object SparkEntry {
         ("2_compacted", filesComp, versComp, nRows),
         ("3_vacuumed", filesVac, versVac, nRows))
         .toDF("stage", "n_files", "n_versions", "n_rows")
-    }))
+    }),
+    // Exact-substring scrubbing (suffix-array-dedup family, n-gram
+    // granularity): remove every token covered by a corpus-wide duplicated
+    // 8-token span, rebuild each doc. q91 reports the signal; this
+    // rewrites the corpus. Full oracle (positions + rebuilt strings are
+    // engine-neutral).
+    "q121_exact_substr_scrub" -> ((s, d) =>
+      TextOps.exactSubstrScrub(Tables.documents(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1725,6 +1732,42 @@ object SparkEntry {
         |  round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
         |    AS dup_fraction
         |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors the Spark scrub exactly: same 8-token spans as q91 (1-based
+    // DuckDB list slices vs 0-based Spark sequence — positions align via
+    // the +1), coverage expanded with a constant 0..7 series, tokens kept
+    // by anti-join, text rebuilt position-ordered. Fully-scrubbed docs
+    // rebuild as '' on both sides (COALESCE vs concat_ws-of-empty).
+    "q121_exact_substr_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |spans AS (
+        |  SELECT doc_id, u.pos AS pos, u.span AS span
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(l) - 6),
+        |        i -> {'pos': i, 'span': array_to_string(l[i : i + 7], ' ')})) AS u
+        |    FROM t WHERE len(l) >= 8)),
+        |dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + g.j AS cpos
+        |  FROM spans s JOIN dup USING (span), generate_series(0, 7) AS g(j)),
+        |toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(l) + 1),
+        |        i -> {'pos': i, 'tok': l[i]})) AS u
+        |    FROM t)),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok
+        |  FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.cpos = k.pos
+        |  WHERE c.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.l) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(r.cleaned, '') AS cleaned_text
+        |FROM documents d JOIN t USING (doc_id) LEFT JOIN reb r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // The incrementally maintained table must equal the full GROUP BY.
     "q93_incremental_agg" ->
       s"""SELECT user_id, COUNT(*) AS n_events,

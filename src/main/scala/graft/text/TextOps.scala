@@ -508,6 +508,61 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring scrubbing — the REMOVAL half of the suffix-array
+    * dedup family ([[duplicatedSpans]] is the reporting half): every token
+    * covered by an n-token span that occurs more than once ANYWHERE in the
+    * corpus (other documents or the same one) is dropped, and each
+    * document's surviving tokens are stitched back in order. This is the
+    * standard "dedup the training data, not the documents" pass: it kills
+    * boilerplate and templated fragments that pairwise near-dup scoring
+    * can't, because no single partner document is similar overall.
+    *
+    * Scale shape: shingling is map-side; duplicated spans come from ONE
+    * groupBy keyed by span; coverage expansion is a bounded explode (≤ n
+    * positions per duplicated span occurrence); the anti-join and the
+    * re-assembly are keyed by (doc_id, pos) / doc_id. No window over an
+    * unbounded frame, no driver state — every stage is an equi-keyed
+    * shuffle that partitions with the data. Re-assembly materializes each
+    * doc's token list once (`collect_list` within its own doc_id group —
+    * per-doc bounded, the same bound the input row already carries).
+    * Deterministic: positions are integers, the rebuilt string is the
+    * position-sorted join. */
+  def exactSubstrScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))")))
+      .toDF("doc_id", "pos", "span")
+    val dupSpans = spans
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("span"))
+    val covered = spans
+      .join(dupSpans, Seq("span"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("cleaned"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source lexical-similarity matrix — mixture governance: for
     * every pair of sources, the Jaccard overlap of their distinct-token
     * vocabularies. Sources that are lexical near-clones double-count in a

@@ -364,4 +364,26 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
       Seq(("a", "b"), ("c", "c"), ("a", "c")))
     assert(all.map(_.getDouble(3)).toSeq == all.map(_.getDouble(3)).sorted.reverse.toSeq)
   }
+
+  test("exact-substring scrub removes only corpus-duplicated span coverage") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),        // dup span at pos 0
+      (2L, "p q a b c d e f g h r"),        // same span at pos 2
+      (3L, "one two three"))                // < 8 tokens: untouched
+      .toDF("doc_id", "text")
+    val got = TextOps.exactSubstrScrub(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 11L, 8L, "x y z"),
+      (2L, 11L, 8L, "p q r"),
+      (3L, 3L, 0L, "one two three")))
+    // A doc that is ALL duplicated spans rebuilds as the empty string.
+    val boiler = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val wiped = TextOps.exactSubstrScrub(boiler).collect()
+      .map(r => (r.getLong(2), r.getString(3))).toSeq
+    assert(wiped == Seq((8L, ""), (8L, "")))
+  }
 }
