@@ -884,7 +884,12 @@ object SparkEntry {
     // rewrites the corpus. Full oracle (positions + rebuilt strings are
     // engine-neutral).
     "q121_exact_substr_scrub" -> ((s, d) =>
-      TextOps.exactSubstrScrub(Tables.documents(s, d))))
+      TextOps.exactSubstrScrub(Tables.documents(s, d))),
+    // Market-basket co-purchase affinity: basket-keyed self-equi-join
+    // (fanout bounded by basket size, never corpus²), top-k via
+    // TakeOrderedAndProject. Full oracle with a total-order tiebreak.
+    "q122_copurchase" -> ((s, d) =>
+      Relational.coPurchasePairs(Tables.lineitem(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1768,6 +1773,15 @@ object SparkEntry {
         |  COALESCE(r.cleaned, '') AS cleaned_text
         |FROM documents d JOIN t USING (doc_id) LEFT JOIN reb r ON r.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q122_copurchase" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+        |  COUNT(*) AS n_orders
+        |FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |  AND a.l_partkey < c.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
     // The incrementally maintained table must equal the full GROUP BY.
     "q93_incremental_agg" ->
       s"""SELECT user_id, COUNT(*) AS n_events,

@@ -422,4 +422,32 @@ object Relational {
         max(col("l_extendedprice")).cast(DoubleType).as("hi"),
         sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
       .orderBy("bin")
+
+  /** Co-purchase affinity — the market-basket primitive behind item-item
+    * collaborative filtering ("customers who bought X also bought Y"):
+    * for every unordered part pair appearing in the same order, how many
+    * orders contain both; the strongest `k` pairs win (deterministic
+    * tiebreak on the pair itself).
+    *
+    * Scale shape: the pair generator is a SELF-EQUI-JOIN keyed by
+    * l_orderkey — it shuffles each side once on the basket key and fans
+    * out quadratically only WITHIN a basket, so cost is bounded by
+    * Σ(basket size²), not corpus², and TPC-H baskets are ≤ 7 lines.
+    * Baskets are deduped to distinct (order, part) first so repeated
+    * lineitems of one part don't inflate the pair count. The `a < b`
+    * predicate halves the join output at the source (no post-hoc
+    * dedup of mirrored pairs), and the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def coPurchasePairs(lineitem: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
 }

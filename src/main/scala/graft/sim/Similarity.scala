@@ -516,10 +516,56 @@ object Similarity {
     * banded LSH self-join ([[cosineNearDupPairsBanded]] — sublinear
     * candidates at scale); loose thresholds route to the exact broadcast
     * scan ([[cosineNearDupPairsExact]] — at such thresholds hashing cannot
-    * separate candidates from the bulk, so honesty beats machinery). */
-  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame =
-    if (minCosine >= BandedThreshold) cosineNearDupPairsBanded(embeddings, minCosine)
-    else cosineNearDupPairsExact(embeddings, minCosine)
+    * separate candidates from the bulk, so honesty beats machinery).
+    *
+    * DUPLICATION-AWARE, same argument as [[embeddingClusters]]: cosine is
+    * a pure function of the vector values, so byte-identical embeddings
+    * are collapsed BEFORE the quadratic stage (group key = the embedding
+    * array itself, exact equality) and the scored representative pairs are
+    * expanded back to member pairs afterwards. A duplicate d-clique
+    * multiplies the naive pair-scan's work by d² (the 30× sweep measured
+    * q35 at 55 s, ~11× its sf1 wall, with d = 30); here it costs one
+    * scored row plus an output-sized explode. Within-group pairs go
+    * through the SAME `cosine ≥ τ` filter on the group's own vector, so
+    * edge semantics (including the zero vector's NaN self-cosine) are
+    * byte-identical to the naive all-pairs scan. */
+  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.95,
+      roundDigits: Int = 6): DataFrame = {
+    val groups = embeddings
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("__rep"),
+        sort_array(collect_list(col("vec_id"))).as("__members"))
+    val reps = groups.select(col("__rep").as("vec_id"), col("embedding"))
+    val repPairs =
+      if (minCosine >= BandedThreshold) cosineNearDupPairsBanded(reps, minCosine)
+      else cosineNearDupPairsExact(reps, minCosine, roundDigits)
+    val memberOf = groups.select(col("__rep"), col("__members"))
+    // Cross-group expansion: each scored rep pair fans out to all member
+    // cross pairs (groups are disjoint, so every unordered pair appears
+    // exactly once; least/greatest restores the vec_a < vec_b convention).
+    val cross = repPairs
+      .join(memberOf.select(col("__rep").as("vec_a"), col("__members").as("__ma")),
+        Seq("vec_a"))
+      .join(memberOf.select(col("__rep").as("vec_b"), col("__members").as("__mb")),
+        Seq("vec_b"))
+      .select(explode(col("__ma")).as("a"), col("__mb"), col("cosine_sim"))
+      .select(col("a"), explode(col("__mb")).as("b"), col("cosine_sim"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"), col("cosine_sim"))
+    // Within-group pairs: the group's self-cosine through the SAME filter
+    // expression as the pairwise path (NaN semantics included), expanded
+    // to each of the C(m, 2) member pairs.
+    val within = groups
+      .filter(size(col("__members")) > 1)
+      .withColumn("__cos", cosine(col("embedding"), col("embedding")))
+      .filter(col("__cos") >= minCosine)
+      .select(col("__members"), round(col("__cos"), roundDigits).as("cosine_sim"))
+      .select(explode(col("__members")).as("a"), col("__members"), col("cosine_sim"))
+      .select(col("a"), explode(col("__members")).as("b"), col("cosine_sim"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine_sim"))
+    cross.unionByName(within).orderBy("vec_a", "vec_b")
+  }
 
   /** Shared tail of the near-dup ops: exact cosine, threshold filter on the
     * unrounded value, fixed output precision (cross-engine comparability —
@@ -623,7 +669,11 @@ object Similarity {
     val groups = embeddings.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rid"))
     val reps = groups.select(col("rid").as("vec_id"), col("embedding"))
-    val pairs = cosineNearDupPairs(reps, minCosine)
+    // Reps are already distinct vectors — go straight to the scored pair
+    // paths (the duplication-aware wrapper would re-collapse a no-op).
+    val pairs = (if (minCosine >= BandedThreshold)
+        cosineNearDupPairsBanded(reps, minCosine)
+      else cosineNearDupPairsExact(reps, minCosine))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val repLabels = graft.dedup.Dedup.clusterPairs(
         reps.select(col("vec_id").as("doc_id")), pairs)

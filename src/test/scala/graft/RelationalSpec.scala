@@ -140,4 +140,18 @@ class RelationalSpec extends SparkSpec {
       .toSet
     assert(out == Set((0L, 0, 1L), (0L, 2, 1L), (1L, 0, 1L), (1L, 2, 1L)))
   }
+
+  test("co-purchase pairs count orders, not lineitems, and break ties totally") {
+    import spark.implicits._
+    // Order 10: parts {1, 2, 3}; order 20: parts {1, 2} with part 2 twice
+    // (two lineitems - must count once); order 30: part 1 alone (no pairs).
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 2L),
+      (30L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.ops.Relational.coPurchasePairs(li, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }

@@ -326,4 +326,23 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     assert(aware.exceptAll(naive).count() == 0)
     assert(naive.exceptAll(aware).count() == 0)
   }
+
+  test("duplication-aware near-dup pairs equal the naive all-pairs scan, clique included") {
+    // Adversarial frame: every vector appears 3x (two shifted copies), so
+    // the output gains C(3,2) within-clique pairs per vector and 9x the
+    // cross pairs - the collapse+expand must reproduce the naive
+    // broadcast scan's rows EXACTLY (same ids, same rounded cosines).
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val dup = emb
+      .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(2000000L)))
+    val naive = Similarity.cosineNearDupPairsExact(dup, 0.4)
+    val aware = Similarity.cosineNearDupPairs(dup, 0.4)
+    assert(aware.count() == naive.count())
+    assert(aware.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(aware).count() == 0)
+    // Within-clique pairs really are present: each of the 200 vectors
+    // forms a 3-clique (cosine(v, v) = 1 for every non-zero vector here).
+    assert(aware.filter(col("cosine_sim") >= 0.999999).count() >= 3L * 200)
+  }
 }

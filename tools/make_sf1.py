@@ -12,10 +12,11 @@ dimension tables (region, nation) are NOT replicated — nation keys stay
 valid FKs from every copy.
 
 Implemented with pyarrow (not a SQL engine) so every output file carries
-the EXACT source schema — the events table's timestamp[ns] physical
-encoding is load-bearing (the streaming readers consume it as raw int64
-nanos via spark.sql.legacy.parquet.nanosAsLong), and SQL engines silently
-normalize it to timestamp[us].
+the EXACT source schema — the events table's physical timestamp encoding
+is load-bearing (the fixture has shipped as both timestamp[ns] and
+timestamp[us] across driver generations; graft.Tables detects and
+normalizes either, but a SQL engine would silently rewrite the encoding
+and stop exercising that detection).
 
 Deliberate properties:
   - documents/embeddings copies keep their text/vectors byte-identical:
