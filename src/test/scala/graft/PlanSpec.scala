@@ -237,4 +237,38 @@ class PlanSpec extends SparkSpec {
       s"q114: globally-ordered unpartitioned window over the data survives:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"q114: offsets join not broadcast:\n$p")
   }
+
+  test("q118 training shards: the ranking window is shard-partitioned, never global") {
+    val p = plan("q118_training_shards")
+    // A global (unpartitioned) row_number would funnel the corpus through
+    // one task; the shard key must be in the window's partition spec.
+    assert(p.contains("row_number"), s"no ranking window:\n$p")
+    assert(!p.contains("partitionBy: []"), s"window lost its partitioning:\n$p")
+  }
+
+  test("q121 scrub: dup detection aggregates partially, coverage joins stay equi") {
+    val p = plan("q121_exact_substr_scrub")
+    // Span counting must partial-aggregate before its exchange, and no
+    // stage may degenerate to a cartesian/broadcast-nested-loop pairing.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in scrub plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in scrub plan:\n$p")
+  }
+
+  test("q122 co-purchase: basket equi-join plus top-k heap, never a cartesian") {
+    val p = plan("q122_copurchase")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in co-purchase:\n$p")
+  }
+
+  test("q35 near-dup: the quadratic scan runs over collapsed reps, expansion is keyed") {
+    val p = plan("q35_embedding_neardup")
+    // The only nested-loop join allowed is the rep-level broadcast scan;
+    // member expansion must be hash-keyed joins.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"rep scan missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in near-dup plan:\n$p")
+    // The duplicate collapse (groupBy embedding) is present: at least one
+    // aggregate keyed on the embedding column feeds the join.
+    assert(p.toLowerCase.contains("collect_list"), s"no member collection:\n$p")
+  }
 }
