@@ -889,7 +889,12 @@ object SparkEntry {
     // (fanout bounded by basket size, never corpus²), top-k via
     // TakeOrderedAndProject. Full oracle with a total-order tiebreak.
     "q122_copurchase" -> ((s, d) =>
-      Relational.coPurchasePairs(Tables.lineitem(s, d))))
+      Relational.coPurchasePairs(Tables.lineitem(s, d))),
+    // Group-wise z-score feature scaling: exact integer-cents moments →
+    // broadcast stats → map-side standardization. Engine-exact, full
+    // oracle.
+    "q123_zscore" -> ((s, d) =>
+      Relational.zscoreNormalize(Tables.customer(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -1773,6 +1778,21 @@ object SparkEntry {
         |  COALESCE(r.cleaned, '') AS cleaned_text
         |FROM documents d JOIN t USING (doc_id) LEFT JOIN reb r ON r.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Same exact-integer moments, then the identical double expressions —
+    // no float aggregation order for the engines to disagree on.
+    "q123_zscore" ->
+      """WITH st AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+        |    SUM(CAST(round(c_acctbal * 100) AS BIGINT) *
+        |        CAST(round(c_acctbal * 100) AS BIGINT)) AS ss
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |  round((c.c_acctbal - s / 100.0 / n) /
+        |    sqrt((ss / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1)), 6)
+        |    AS z_score
+        |FROM customer c JOIN st USING (c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin,
     "q122_copurchase" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,

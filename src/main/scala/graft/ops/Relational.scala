@@ -438,6 +438,39 @@ object Relational {
     * predicate halves the join output at the source (no post-hoc
     * dedup of mirrored pairs), and the top-k plans as
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  /** Group-wise z-score standardization — the feature-scaling step model
+    * training pipelines apply to numeric inputs (per-segment here, the
+    * grouped form that respects population differences between segments).
+    *
+    * Engine-exact by construction: the money column is folded to integer
+    * CENTS first, so the group moments (n, Σc, Σc²) are exact BIGINTs —
+    * no float summation order to disagree on — and mean/variance/z are
+    * then IDENTICAL double expressions over those exact integers in both
+    * engines (sample variance via the moments identity).
+    *
+    * Scale shape: ONE aggregation produces a #groups-row stats frame that
+    * broadcasts back onto the table — the standardization itself is
+    * map-side (no window over the data, no second shuffle). */
+  def zscoreNormalize(customer: DataFrame): DataFrame = {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val stats = customer
+      .select(col("c_mktsegment"), cents.as("__c"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__ss"))
+    customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .join(broadcast(stats), Seq("c_mktsegment"))
+      .withColumn("__mean", col("__s") / lit(100.0) / col("__n"))
+      .withColumn("__var",
+        (col("__ss") / lit(10000.0) -
+          (col("__s") / lit(100.0)) * (col("__s") / lit(100.0)) / col("__n")) /
+          (col("__n") - lit(1)))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round((col("c_acctbal") - col("__mean")) / sqrt(col("__var")), 6)
+          .as("z_score"))
+      .orderBy("c_custkey")
+  }
+
   def coPurchasePairs(lineitem: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()

@@ -154,4 +154,25 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
+
+  test("z-score normalization: zero mean, unit sample variance per group") {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sf)
+    val z = graft.ops.Relational.zscoreNormalize(cust).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    assert(z.length == cust.count().toInt)
+    z.groupBy(_._1).foreach { case (seg, rows) =>
+      val v = rows.map(_._2)
+      val mean = v.sum / v.length
+      val sv = v.map(x => (x - mean) * (x - mean)).sum / (v.length - 1)
+      assert(math.abs(mean) < 1e-4, s"$seg z mean $mean not ~0")
+      assert(math.abs(sv - 1.0) < 1e-3, s"$seg z variance $sv not ~1")
+    }
+    // Hand case: values 1.00, 2.00, 3.00 -> mean 2, sd 1 -> z = -1, 0, 1.
+    val tiny = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val got = graft.ops.Relational.zscoreNormalize(tiny).collect()
+      .map(_.getDouble(3)).toSeq
+    assert(got == Seq(-1.0, 0.0, 1.0))
+  }
 }
