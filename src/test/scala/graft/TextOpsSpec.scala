@@ -386,4 +386,25 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
       .map(r => (r.getLong(2), r.getString(3))).toSeq
     assert(wiped == Seq((8L, ""), (8L, "")))
   }
+
+  test("scrub duplication-collapse weights span counts by copy count") {
+    // Doc 1 replicated 3x (byte-identical, distinct ids): every span of the
+    // shared text occurs 3x corpus-wide, so ALL copies are fully scrubbed —
+    // the collapse must count a span once-per-copy (sum of group sizes),
+    // not once-per-distinct-text, or these spans would score 1 and survive.
+    // Doc 2 is unique: all spans count 1, untouched.
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (101L, "a b c d e f g h x y z"),
+      (201L, "a b c d e f g h x y z"),
+      (2L, "p q r s t u v w i j k"))
+      .toDF("doc_id", "text")
+    val got = TextOps.exactSubstrScrub(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 11L, 11L, ""),
+      (2L, 11L, 0L, "p q r s t u v w i j k"),
+      (101L, 11L, 11L, ""),
+      (201L, 11L, 11L, "")))
+  }
 }
