@@ -857,10 +857,14 @@ object SparkEntry {
         while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
         n
       }
+      // Pinned write layout (upsert's optimizeWrite knob): each rewrite
+      // lands exactly 8 files, so the fragmented-stage count is a stable
+      // fact of the lifecycle, not of this environment's task layout.
       (0 until 3).foreach { i =>
         store.upsert("cust_maint",
           cust.filter(pmod(col("c_custkey"), lit(97L)) === lit(i.toLong))
-            .withColumn("c_acctbal", col("c_acctbal") + lit(1.0)))
+            .withColumn("c_acctbal", col("c_acctbal") + lit(1.0)),
+          targetFileCount = Some(8))
       }
       val filesFrag = dataFiles()
       val versFrag = store.versions("cust_maint").size.toLong
@@ -1794,14 +1798,14 @@ object SparkEntry {
         |FROM customer c JOIN st USING (c_mktsegment)
         |ORDER BY c.c_custkey""".stripMargin,
     "q122_copurchase" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
         |  COUNT(*) AS n_orders
         |FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
         |  AND a.l_partkey < c.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b
-        |LIMIT 50""".stripMargin,
+        |LIMIT ${Relational.CoPurchaseTopK}""".stripMargin,
     // The incrementally maintained table must equal the full GROUP BY.
     "q93_incremental_agg" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
@@ -2031,12 +2035,14 @@ object SparkEntry {
         |    AS BIGINT) - 1 AS position
         |FROM s ORDER BY doc_id""".stripMargin,
     // Anchored regexes are RE2-safe, so java.util.regex and DuckDB RE2
-    // agree on every match; masking replaces the single anchored prefix.
+    // agree on every match; masking captures the suffix of the FULL-id
+    // detector pattern (Spark `$1` == DuckDB `\1` backreference), so only
+    // detected identifiers are ever masked.
     "q119_pii_mask" ->
       """WITH m AS (SELECT c_mktsegment,
         |    regexp_matches(c_name, '^Customer#[0-9]{9}$') AS hit,
         |    regexp_replace(c_name,
-        |      '^Customer#[0-9]{5}', 'Customer#*****') AS masked
+        |      '^Customer#[0-9]{5}([0-9]{4})$', 'Customer#*****\1') AS masked
         |  FROM customer)
         |SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_id_detected,

@@ -101,7 +101,8 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     * columns absent from `updates` are padded with typed nulls. Type
     * changes are rejected, never coerced. */
   def upsert(name: String, updates: DataFrame,
-      mergeSchema: Boolean = false): FeatureTable = {
+      mergeSchema: Boolean = false,
+      targetFileCount: Option[Int] = None): FeatureTable = {
     val ft = getTable(name)
     FeatureStore.validatePrimaryKeys(name, ft.primaryKeys, updates, enforce = true)
     val existing = readTable(name)
@@ -136,7 +137,14 @@ final class FeatureStore(spark: SparkSession, val basePath: String,
     val merged = alignedExisting
       .join(alignedUpdates.select(ft.primaryKeys.map(col): _*), ft.primaryKeys, "left_anti")
       .unionByName(alignedUpdates)
-    rewriteInPlace(ft, merged, "upsert")
+    // Optional write-layout control (Delta optimizedWrite analog): without
+    // it the rewrite's file count is whatever the merge plan's final task
+    // layout happens to be — environment-sensitive (shuffle partitions,
+    // AQE coalescing). A round-robin repartition (not coalesce — that can
+    // only shrink, so it can't PIN a count) makes the layout exactly n
+    // files wherever the row count covers n partitions; the extra shuffle
+    // is the documented price of a reproducible layout, same as Delta's.
+    rewriteInPlace(ft, targetFileCount.fold(merged)(n => merged.repartition(n)), "upsert")
   }
 
   /** Predicate delete (Delta `DELETE WHERE` analog): rewrite the table

@@ -28,10 +28,15 @@ object Redaction {
   val CustomerIdPattern = "^Customer#[0-9]{9}$"
 
   /** Mask an account identifier keeping the trailing 4 digits visible:
-    * `Customer#000001234` → `Customer#*****1234`. Anchored single match —
-    * deterministic in both regex engines. */
+    * `Customer#000001234` → `Customer#*****1234`. The mask pattern is the
+    * FULL-id detector with a suffix capture — not a bare prefix match — so
+    * masking and detection agree by construction: a malformed value like
+    * `Customer#12345xyz` is neither detected nor masked (a prefix-only
+    * pattern would mask it while counting it undetected, skewing the
+    * audit's masked extremes against its detection count). Anchored single
+    * match — deterministic in both regex engines. */
   def maskCustomerId(name: Column): Column =
-    regexp_replace(name, "^Customer#[0-9]{5}", "Customer#*****")
+    regexp_replace(name, "^Customer#[0-9]{5}([0-9]{4})$", "Customer#*****$1")
 
   /** Per-segment redaction audit over the customer identity block: every
     * row's identifier masked, detection counted, and the masked extremes

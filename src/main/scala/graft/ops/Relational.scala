@@ -471,7 +471,11 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  def coPurchasePairs(lineitem: DataFrame, k: Int = 50): DataFrame = {
+  /** Default top-k for [[coPurchasePairs]]; the q122 oracle SQL interpolates
+    * this SAME constant into its LIMIT, so the two sides cannot drift. */
+  val CoPurchaseTopK = 50
+
+  def coPurchasePairs(lineitem: DataFrame, k: Int = CoPurchaseTopK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     baskets.as("a")

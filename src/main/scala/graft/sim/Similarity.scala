@@ -537,7 +537,8 @@ object Similarity {
         sort_array(collect_list(col("vec_id"))).as("__members"))
     val reps = groups.select(col("__rep").as("vec_id"), col("embedding"))
     val repPairs =
-      if (minCosine >= BandedThreshold) cosineNearDupPairsBanded(reps, minCosine)
+      if (minCosine >= BandedThreshold)
+        cosineNearDupPairsBanded(reps, minCosine, roundDigits = roundDigits)
       else cosineNearDupPairsExact(reps, minCosine, roundDigits)
     val memberOf = groups.select(col("__rep"), col("__members"))
     // Cross-group expansion: each scored rep pair fans out to all member
@@ -617,7 +618,7 @@ object Similarity {
     * OR-only single-projection tables at the same recall. */
   def cosineNearDupPairsBanded(embeddings: DataFrame, minCosine: Double,
       numTables: Int = 6, bandsPerTable: Int = 2, bucketWidth: Double = 0.3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, roundDigits: Int = 6): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val rng = new scala.util.Random(seed)
     val dirs: Array[Array[Double]] = Array.fill(numTables * bandsPerTable) {
@@ -646,7 +647,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       // One candidate per pair regardless of how many tables it collided in.
       .dropDuplicates("vec_a", "vec_b")
-    thresholdedPairs(cands, minCosine, roundDigits = 6)
+    thresholdedPairs(cands, minCosine, roundDigits)
   }
 
   /** Connected-component clustering of the cosine ≥ `minCosine` pair graph:

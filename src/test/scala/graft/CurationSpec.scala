@@ -181,14 +181,18 @@ class CurationSpec extends SparkSpec {
     val df = Seq(
       (1L, "Customer#000001234"),
       (2L, "not-an-account"),
-      (3L, "Customer#000056789"))
+      (3L, "Customer#000056789"),
+      // Malformed near-miss: masking uses the FULL-id detector pattern, so
+      // this is neither detected nor masked (mask/detect cannot disagree).
+      (4L, "Customer#12345xyz"))
       .toDF("c_custkey", "c_name")
     val got = df.select(col("c_name"),
         graft.ops.Redaction.maskCustomerId(col("c_name")).as("masked"),
         col("c_name").rlike(graft.ops.Redaction.CustomerIdPattern).as("hit"))
       .collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq
     assert(got == Seq(("Customer#*****1234", true),
-      ("not-an-account", false), ("Customer#*****6789", true)))
+      ("not-an-account", false), ("Customer#*****6789", true),
+      ("Customer#12345xyz", false)))
     val audit = graft.ops.Redaction.customerIdRedactionAudit(
       Tables.customer(spark, sf)).collect()
     // Every fixture identifier matches the layout, so detection == count,

@@ -345,4 +345,25 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     // forms a 3-clique (cosine(v, v) = 1 for every non-zero vector here).
     assert(aware.filter(col("cosine_sim") >= 0.999999).count() >= 3L * 200)
   }
+
+  test("duplication-aware collapse composed with the BANDED branch equals naive banded") {
+    // Same adversarial 3x fixture, but at a threshold >= BandedThreshold so
+    // cosineNearDupPairs routes collapse+expand through the banded LSH
+    // self-join. Equality vs banded-run-naively holds DETERMINISTICALLY:
+    // the band keys are pure functions of the vector values, so every copy
+    // collides exactly where its representative does, and the exact cosine
+    // filter at the tail makes precision identical on both paths.
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val dup = emb
+      .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(2000000L)))
+    val tau = Similarity.BandedThreshold // 0.8 — the routing boundary itself
+    val naive = Similarity.cosineNearDupPairsBanded(dup, tau)
+    val aware = Similarity.cosineNearDupPairs(dup, tau)
+    assert(aware.count() == naive.count())
+    assert(aware.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(aware).count() == 0)
+    // The clique floor again: 3 within-pairs per duplicated vector.
+    assert(aware.filter(col("cosine_sim") >= 0.999999).count() >= 3L * 200)
+  }
 }
