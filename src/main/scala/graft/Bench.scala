@@ -70,12 +70,18 @@ object Bench {
     }
 
     // Pass 1: best-of-2 per query (min of independent runs defeats brief
-    // spikes), plus a third sample when the two disagree >2x.
+    // spikes), plus a third sample when the two disagree >2x, plus a
+    // MANDATORY third sample for sub-5 s queries — on those, scheduler
+    // jitter is the same order as the measurement, and two agreeing-but-
+    // wrong samples caused round 5's phantom q60 "regression" (3.83 s on
+    // unchanged code). Three samples put a visible variance bound in the
+    // sidecar (`runs` below) so a swing can be read against its spread.
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val base = Seq(once(name, fn), once(name, fn))
       val samples =
-        if (!failedSet(name) &&
-            base.map(_.dt).max > 2 * base.map(_.dt).min + 0.5) base :+ once(name, fn)
+        if (failedSet(name)) base
+        else if (base.map(_.dt).max > 2 * base.map(_.dt).min + 0.5) base :+ once(name, fn)
+        else if (base.map(_.dt).min < 5.0) base :+ once(name, fn)
         else base
       name -> samples
     }
@@ -113,19 +119,33 @@ object Bench {
       System.err.println(
         f"[bench] $name%-28s $dt%8.2f s  (runs: ${
           all.map(s => f"${s.dt}%.2f" + (if (s.tainted) "*" else "")).mkString(", ")})$flag")
-      (name, dt, failedSet(name))
+      (name, dt, failedSet(name), all.map(_.dt))
     }
     // A failed query's time-to-exception is NOT a measurement — reporting it
     // would let a fast failure masquerade as a fast query. Failures are
     // excluded from `queries`/total and listed explicitly.
-    val ok = results.collect { case (k, v, false) => k -> v }
-    val failedNames = results.collect { case (k, _, true) => k }
+    val ok = results.collect { case (k, v, false, _) => k -> v }
+    val failedNames = results.collect { case (k, _, true, _) => k }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    // Engine vs ML split: the ML entries deliberately measure model-fit
+    // walls (q109 is ~11% of the round-5 total on its own), which would
+    // otherwise dominate round-over-round ENGINE comparisons. Both groups
+    // stay in `queries`/`value` (the driver's headline is unchanged); the
+    // split totals let a reader compare engines across rounds cleanly.
+    val mlQueries = Set("q109_gbt_train_score")
+    val mlTotal = ok.collect { case (k, v) if mlQueries(k) => v }.sum
+    val engineTotal = total - mlTotal
+    // Per-query sample lists — the variance bound. `queries` carries the
+    // min; `runs` carries every sample so a swing on unchanged code can be
+    // judged against its own spread instead of a single point.
+    val runsJson = results.collect { case (k, _, false, ss) =>
+      "\"" + k + "\":" + ss.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","engine_total":$engineTotal,"ml_total":$mlTotal,"queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Sidecar copy: the driver's round artifact stores a bounded log tail,
     // and with 100 queries the single JSON line can outgrow it (BENCH_r03
