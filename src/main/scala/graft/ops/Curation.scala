@@ -8,61 +8,18 @@ import org.apache.spark.sql.functions._
   * budget enforcement over a grouped corpus. */
 object Curation {
 
-  /** Scale-safe per-source running token total — a two-level prefix sum
-    * replacing the naive corpus-wide `Window.partitionBy(source)` cumsum,
-    * whose parallelism is capped at #sources (with 5 sources, a 100 TB
-    * corpus would serialize through 5 window tasks).
-    *
-    * Level 1: assign every row a contiguous doc_id slice, then compute the
-    * running sum INSIDE each slice with a window keyed by (slice, source) —
-    * serial chains are bounded by slice size, so parallelism scales with
-    * the data, not with #sources. Level 2: the per-(slice, source) totals —
-    * at most slices x #sources tiny rows — get their own prefix sum over
-    * slice order and are broadcast back as per-slice starting offsets; a
-    * map-side add finishes the global running sum.
-    *
-    * The slice id is a pure function of the row: doc_id quantile boundaries
-    * are computed ONCE on the driver and embedded as literals, so the two
-    * plan branches that both derive __slice (the local window and the
-    * offsets aggregate) cannot disagree — unlike the previous
-    * spark_partition_id()-over-repartitionByRange form, whose correctness
-    * silently depended on exchange reuse executing the sampled range
-    * shuffle exactly once (round-4 ADVICE). Slice boundaries being monotone
-    * in doc_id keeps slice order consistent with per-source doc_id order,
-    * so the result is exactly the one-window answer (asserted hash-equal in
-    * CurationSpec, plan shape in PlanSpec). */
-  private def perSourceRunningTotal(tokenized: DataFrame): DataFrame = {
-    val slices = tokenized.sparkSession.sessionState.conf.numShufflePartitions
-    val probes = (1 until slices).map(_.toDouble / slices).toArray
-    // Bounded driver state: at most slices-1 boundary values. approxQuantile
-    // is one pushed-down pass over the doc_id column; its output lands in
-    // the plan as literals, never as a recomputed subtree.
-    val bounds = tokenized.stat.approxQuantile("doc_id", probes, 0.001)
-      .distinct.sorted
-    val sliceCol =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(
-        array(bounds.map(b => lit(b)): _*),
-        b => b < col("doc_id").cast("double")))
-    val ranged = tokenized.withColumn("__slice", sliceCol)
-    val wLocal = Window.partitionBy(col("__slice"), col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__local", sum(col("n_tokens")).over(wLocal))
-    // Tiny frame: one row per (slice, source). Its window IS partitioned by
-    // source alone, which is fine at slices x #sources rows — PlanSpec
-    // checks the full-data window is the (slice, source) one.
-    val wOffset = Window.partitionBy(col("source")).orderBy(col("__slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
-      .groupBy(col("__slice"), col("source"))
-      .agg(sum(col("n_tokens")).as("__slice_total"))
-      .withColumn("__offset", coalesce(sum(col("__slice_total")).over(wOffset), lit(0L)))
-      .select(col("__slice"), col("source"), col("__offset"))
-    local
-      .join(broadcast(offsets), Seq("__slice", "source"))
-      .withColumn("cum_tokens", col("__local") + col("__offset"))
+  /** Scale-safe per-source running token total — the naive corpus-wide
+    * `Window.partitionBy(source)` cumsum would cap parallelism at #sources
+    * (with 5 sources, a 100 TB corpus serializes through 5 window tasks).
+    * All the subtle machinery (driver-quantile-literal slices, per-(slice,
+    * source) local windows, broadcast offsets) lives in the shared
+    * [[Partitioning.slicedPrefix]] primitive; the result is exactly the
+    * one-window answer (asserted hash-equal in CurationSpec, plan shape in
+    * PlanSpec). */
+  private def perSourceRunningTotal(tokenized: DataFrame): DataFrame =
+    Partitioning.slicedPrefix(tokenized, "doc_id", Nil, Seq("source"),
+        col("n_tokens"), "cum_tokens")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
-  }
 
   /** Per-source token budget cap — the mixture-control primitive of
     * training-data curation ("at most N tokens from each source"): within

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parallelism hygiene for explode-heavy pipelines.
@@ -35,6 +36,82 @@ object Partitioning {
     * partial aggregate. Semantics-preserving by construction — every
     * (probe row, build row) key match meets in exactly one salt bucket;
     * q60 proves it by hash-matching the unsalted oracle. */
+  /** Two-level sliced prefix sum — the scale-safe replacement for a
+    * running-total window whose partition key has low cardinality (or none
+    * at all): `sum(weight) OVER (PARTITION BY groupCols ORDER BY valueCol,
+    * tieBreak)` serializes each group through ONE task, so a 100 TB frame
+    * with 5 groups (or a global ntile with zero) gets 5 tasks of
+    * parallelism no matter the cluster size.
+    *
+    * Level 1: every row is assigned a contiguous `valueCol` slice whose
+    * boundaries are computed ONCE on the driver (approxQuantile) and
+    * embedded as literals — a pure function of the row, so the two plan
+    * branches that both derive the slice (the local window and the offsets
+    * aggregate) cannot disagree, unlike a spark_partition_id()-over-
+    * repartitionByRange form whose correctness silently depends on
+    * exchange reuse. The running sum inside each (slice, group) runs in a
+    * window keyed by both, so serial chains are bounded by slice size and
+    * parallelism scales with the DATA. Level 2: the per-(slice, group)
+    * totals — at most #slices × #groups tiny rows — get their own
+    * exclusive prefix over slice order and come back BROADCAST as
+    * starting offsets; a map-side add finishes the global sum.
+    *
+    * Ties at a slice boundary land in one slice (strict `<` against the
+    * literal bounds), so slice order composed with within-slice order is
+    * exactly the global (valueCol, tieBreak) order whenever that order is
+    * total. Returns `df` plus `outCol` (the inclusive running sum) and,
+    * when `totalCol` is set, the group's grand total on every row (for
+    * callers that need global-index arithmetic, e.g. exact ntile).
+    * Shared by [[graft.ops.Curation]]'s token prefix sums and
+    * [[graft.ops.Relational.ntileAssign]] — one implementation of the
+    * subtle part, two very different operators on top. */
+  def slicedPrefix(df: DataFrame, valueCol: String, tieBreak: Seq[String],
+      groupCols: Seq[String], weight: Column, outCol: String,
+      totalCol: Option[String] = None): DataFrame = {
+    require(!df.columns.contains("__slice"),
+      "slicedPrefix reserves the __slice column name; rename the input column")
+    val slices = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until slices).map(_.toDouble / slices).toArray
+    // Bounded driver state: at most slices-1 boundary values, one
+    // pushed-down pass over valueCol; output lands in the plan as
+    // literals, never as a recomputed subtree.
+    val bounds = df.stat.approxQuantile(valueCol, probes, 0.001).distinct.sorted
+    val sliceCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(
+        array(bounds.map(b => lit(b)): _*),
+        b => b < col(valueCol).cast("double")))
+    val sliced = df.withColumn("__slice", sliceCol)
+    val order = (col(valueCol) +: tieBreak.map(col)).map(_.asc)
+    val wLocal = Window
+      .partitionBy(col("__slice") +: groupCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sliced.withColumn("__local", sum(weight).over(wLocal))
+    // Tiny frame from here down: one row per (slice, group). Its windows
+    // are keyed by the group alone (or nothing), which is fine at
+    // #slices × #groups rows — PlanSpec checks the full-data window is
+    // the (slice, group) one.
+    val wOffset = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = local
+      .groupBy(col("__slice") +: groupCols.map(col): _*)
+      .agg(sum(weight).as("__slice_total"))
+      .withColumn("__offset", coalesce(sum(col("__slice_total")).over(wOffset), lit(0L)))
+    val withTotal = totalCol.fold(totals) { t =>
+      val wAll = Window.partitionBy(groupCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      totals.withColumn(t, sum(col("__slice_total")).over(wAll))
+    }
+    val offsets = withTotal.select(
+      (col("__slice") +: groupCols.map(col)) ++
+        (col("__offset") +: totalCol.map(col).toSeq): _*)
+    local.join(broadcast(offsets), "__slice" +: groupCols)
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__slice", "__local", "__offset")
+  }
+
   def saltedEquiJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFrom: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")

@@ -356,44 +356,20 @@ object Relational {
     * `ntile() OVER (ORDER BY ...)` unusable at scale (all rows through
     * one task).
     *
-    * Same two-level scheme as [[Curation]]'s prefix sums: value-range
-    * slices from driver-computed approxQuantile literals (ties at a
-    * boundary land in ONE slice, so slice order x within-slice order is
-    * a total order consistent with the global sort), a row_number window
-    * per slice (parallelism = #slices), and a tiny per-slice count frame
-    * whose exclusive prefix gives each slice's global row offset. The
-    * SQL-standard bucket is then pure arithmetic on the global 0-based
-    * index: with n rows, q = n DIV k, r = n MOD k, the first r buckets
-    * get q+1 rows — all in 64-bit integer math (no doubles, exact past
-    * 2^53 rows). */
+    * The global 0-based row index is the shared
+    * [[Partitioning.slicedPrefix]] primitive with weight 1 and no group
+    * (ties at a boundary land in ONE slice, so slice order × within-slice
+    * order is a total order consistent with the global sort; parallelism
+    * = #slices; offsets broadcast). The SQL-standard bucket is then pure
+    * arithmetic on that index: with n rows, q = n DIV k, r = n MOD k, the
+    * first r buckets get q+1 rows — all in 64-bit integer math (no
+    * doubles, exact past 2^53 rows). */
   private[graft] def ntileAssign(df: DataFrame, valueCol: String,
                                  tieBreak: Seq[String], k: Int): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")
-    val slices = df.sparkSession.sessionState.conf.numShufflePartitions
-    val probes = (1 until slices).map(_.toDouble / slices).toArray
-    val bounds = df.stat.approxQuantile(valueCol, probes, 0.001).distinct.sorted
-    val sliceCol =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(
-        array(bounds.map(b => lit(b)): _*),
-        b => b < col(valueCol).cast(DoubleType)))
-    val sliced = df.withColumn("__slice", sliceCol)
-    val order = (col(valueCol) +: tieBreak.map(col)).map(_.asc)
-    val wLocal = Window.partitionBy(col("__slice")).orderBy(order: _*)
-    val local = sliced.withColumn("__rn", row_number().over(wLocal))
-    // Tiny frame: one row per slice. Its global-order window is over at
-    // most `slices` rows; __n (the grand total) rides along so no extra
-    // driver action is needed.
-    val wOffset = Window.orderBy(col("__slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = local.groupBy(col("__slice"))
-      .agg(count(lit(1)).as("__slice_n"))
-      .withColumn("__offset", coalesce(sum(col("__slice_n")).over(wOffset), lit(0L)))
-      .withColumn("__n", sum(col("__slice_n")).over(wAll))
-      .select(col("__slice"), col("__offset"), col("__n"))
-    local.join(broadcast(offsets), Seq("__slice"))
-      .withColumn("__idx", col("__offset") + col("__rn") - 1)
+    Partitioning.slicedPrefix(df, valueCol, tieBreak, Nil, lit(1L),
+        "__rank", totalCol = Some("__n"))
+      .withColumn("__idx", col("__rank") - 1)
       .withColumn("__q", expr(s"__n DIV $k"))
       .withColumn("__r", col("__n") % k)
       .withColumn("bin",
@@ -402,7 +378,7 @@ object Relational {
           .otherwise(col("__r") +
             expr(s"(__idx - __r * (__q + 1)) DIV greatest(__q, 1)"))
           + 1).cast("int"))
-      .drop("__slice", "__rn", "__offset", "__n", "__idx", "__q", "__r")
+      .drop("__rank", "__n", "__idx", "__q", "__r")
   }
 
   /** Equal-frequency binning of lineitem prices — the feature-engineering
