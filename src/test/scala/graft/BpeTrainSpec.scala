@@ -109,6 +109,48 @@ class BpeTrainSpec extends SparkSpec {
     assert(batched.length == 40)
   }
 
+  test("incremental pair counts match a from-scratch reference over 60 corpus merges") {
+    // Round 6 maintains the pair-frequency frame across rounds (delta of
+    // the affected words only) instead of recounting the vocab. This is
+    // the INDEPENDENT oracle for that bookkeeping: a driver-side classic
+    // sequential BPE (full recount every merge, no Spark, no batching)
+    // must produce the identical (left, right, frequency) sequence. 60
+    // merges exercise many delta rounds, created-symbol pairs (x·m, m·y),
+    // and count decay on skipped pairs.
+    val docs = Tables.documents(spark, sf)
+    val words = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0).map(_.toString).toList -> r.getLong(1))
+    var vocab: Map[List[String], Long] =
+      words.groupMapReduce(_._1)(_._2)(_ + _)
+    val expect = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to 60) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += n)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+        expect += ((l, r, f))
+        def fuseWord(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: fuseWord(rest)
+          case a :: rest => a :: fuseWord(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.toSeq.map { case (s, n) => fuseWord(s) -> n }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    val got = BpeTrain.learnMerges(docs, numMerges = 60).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == expect.result())
+  }
+
   test("corpus-scale run: deterministic and ranked by frequency") {
     val docs = Tables.documents(spark, sf)
     val a = BpeTrain.learnMerges(docs, numMerges = 5).collect()
