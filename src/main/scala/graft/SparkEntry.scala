@@ -898,7 +898,23 @@ object SparkEntry {
     // broadcast stats → map-side standardization. Engine-exact, full
     // oracle.
     "q123_zscore" -> ((s, d) =>
-      Relational.zscoreNormalize(Tables.customer(s, d))))
+      Relational.zscoreNormalize(Tables.customer(s, d))),
+    // SQL front door widened (round-5 verdict item 8): q01's pricing
+    // summary and q03's top-revenue join executed from the SAME ANSI
+    // string the DuckDB oracle runs (modulo the view prefix) — the q111
+    // pattern over the two headline relational shapes. The DataFrame
+    // forms (q01/q03) stay on the bench as the native-operator path;
+    // these prove the one-text contract end to end.
+    "q124_sql_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
+      s.sql(PricingSummarySql("graft_sql_"))
+    }),
+    "q125_sql_top_revenue" -> ((s, d) => {
+      Seq("customer" -> Tables.customer(s, d), "orders" -> Tables.orders(s, d),
+        "lineitem" -> Tables.lineitem(s, d))
+        .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_sql_$n") }
+      s.sql(TopRevenueSql("graft_sql_"))
+    }))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -926,6 +942,34 @@ object SparkEntry {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q124's single source of truth (and q01's oracle): the TPC-H Q1
+    * pricing summary as ONE ANSI string both engines run — Spark over the
+    * `prefix`-ed temp view, DuckDB over the bare table view. */
+  def PricingSummarySql(prefix: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+       |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(round(SUM(CAST($discPrice * (1 + ${dec("l_tax")}) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       |  COUNT(*) AS count_order,
+       |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price
+       |FROM ${prefix}lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q125's single source of truth (and q03's oracle): the top-revenue
+    * building-segment join, one ANSI string for both engines. */
+  def TopRevenueSql(prefix: String): String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+       |FROM ${prefix}customer
+       |JOIN ${prefix}orders ON c_custkey = o_custkey
+       |JOIN ${prefix}lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   /** Per-source sampling rates (percent) for q55. */
   val MixtureRates: Map[String, Int] = Map("src0" -> 250, "src1" -> 50, "src2" -> 0)
 
@@ -952,31 +996,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-         |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS sum_disc_price,
-         |  CAST(round(SUM(CAST($discPrice * (1 + ${dec("l_tax")}) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-         |  COUNT(*) AS count_order,
-         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
-         |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price
-         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // One shared text: the native q01 and the SQL-front-door q124 are both
+    // checked against (and q124 also EXECUTES) PricingSummarySql.
+    "q01_pricing_summary" -> PricingSummarySql(""),
     "q02_filter_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount""".stripMargin,
-    "q03_top_revenue" ->
-      s"""SELECT l_orderkey, o_orderdate,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
-         |FROM customer
-         |JOIN orders ON c_custkey = o_custkey
-         |JOIN lineitem ON o_orderkey = l_orderkey
-         |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
-         |GROUP BY l_orderkey, o_orderdate
-         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q03_top_revenue" -> TopRevenueSql(""),
     "q04_training_set" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  p_brand, p_retailprice, s_name, s_acctbal
@@ -1924,6 +1951,8 @@ object SparkEntry {
     // One template, two engines: the oracle IS the Spark SQL text with the
     // view prefix stripped (q111's whole point — the SQL front door).
     "q111_sql_revenue_by_nation" -> RevenueByNationSql(""),
+    "q124_sql_pricing_summary" -> PricingSummarySql(""),
+    "q125_sql_top_revenue" -> TopRevenueSql(""),
     // First-touch funnel chaining via nested min-aggregations: each stage's
     // time is the earliest qualifying event strictly after (and within 24h
     // of) the previous stage's time — same strict bounds as Events.funnel.
