@@ -914,7 +914,35 @@ object SparkEntry {
         "lineitem" -> Tables.lineitem(s, d))
         .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_sql_$n") }
       s.sql(TopRevenueSql("graft_sql_"))
-    }))
+    }),
+    // Temperature-scaled mixture weights (α = 1/2 — the IEEE-exact
+    // temperature, sqrt is correctly rounded everywhere): per-source
+    // sampling probabilities and integer token quotas under a budget.
+    // Normalizer is a fixed-order fold, so the doubles match the oracle
+    // bit-for-bit before rounding.
+    "q126_mixture_weights" -> ((s, d) =>
+      graft.ops.Curation.temperatureMixture(Tables.documents(s, d),
+        MixtureBudgetTokens)),
+    // Near-dup cluster canonicalization: one row per Jaccard cluster with
+    // the kept document (longest, tie → min id) and the chars the collapse
+    // saves. Clusters the rep-level graph — the d²-expanded member pair
+    // set is never materialized. Full oracle: recursive-CTE closure over
+    // the q28 pair SQL plus a window-ranked keep policy.
+    "q127_cluster_canonical" -> ((s, d) =>
+      Dedup.canonicalizeClusters(Tables.documents(s, d))),
+    // SCD Type-2 history build: per-customer priority changes collapsed to
+    // validity intervals (effective_from/effective_to/is_current). Full
+    // oracle — pure window SQL.
+    "q128_scd2" -> ((s, d) => Relational.scd2Build(Tables.orders(s, d))),
+    // Trailing 30-day RANGE-frame window (time-span frame, not row-count):
+    // per-customer rolling order count + exact cents spend. Full oracle
+    // (DuckDB RANGE BETWEEN INTERVAL mirrors the day-number range frame).
+    "q129_trailing_window" -> ((s, d) =>
+      Relational.trailingIntervalAgg(Tables.orders(s, d))),
+    // Robust MAD outlier screen: |value − type median| > 3.5 normalized
+    // MADs. Exact-integer medians via the q51 percentile-parity convention.
+    "q130_mad_outliers" -> ((s, d) =>
+      Relational.madOutliers(Tables.events(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -972,6 +1000,11 @@ object SparkEntry {
 
   /** Per-source sampling rates (percent) for q55. */
   val MixtureRates: Map[String, Int] = Map("src0" -> 250, "src1" -> 50, "src2" -> 0)
+
+  /** q126's token budget — interpolated into the oracle SQL so the Scala
+    * call and the DuckDB quota arithmetic cannot drift (the q122 shared-
+    * constant convention). */
+  val MixtureBudgetTokens = 1000000L
 
   /** Columns profiled by q66 (shared with its generated oracle SQL). */
   val ProfileColumns: Seq[String] = Seq(
@@ -2093,5 +2126,116 @@ object SparkEntry {
         |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS users
         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
-        |ORDER BY stage_idx""".stripMargin)
+        |ORDER BY stage_idx""".stripMargin,
+    // Same whitespace token counts (q25 convention), same sqrt weights,
+    // and the SAME fixed-order fold for the normalizer: list(wt ORDER BY
+    // source) folded left equals Spark's aggregate() over the
+    // source-sorted struct array, addition for addition.
+    "q126_mixture_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS wt FROM per),
+         |t AS (SELECT list_reduce(list(wt ORDER BY source), (a, b) -> a + b) AS tw FROM w)
+         |SELECT source, n_docs, n_tokens, round(wt, 6) AS weight,
+         |  round(wt / t.tw, 6) AS p_sample,
+         |  CAST(round($MixtureBudgetTokens * round(wt / t.tw, 6)) AS BIGINT) AS quota_tokens
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    // q28's pair SQL (same shingling, df-guard, Jaccard cut) extended by
+    // the q69 recursive-closure convention, then a window-ranked keep
+    // policy (longest n_chars, tie to min doc_id). Docs whose every
+    // shingle is stop-filtered never pair — they stay singletons.
+    "q127_cluster_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [text]
+        |         ELSE list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+        |df AS (SELECT sh AS s, COUNT(*) AS df FROM sh GROUP BY sh),
+        |total AS (SELECT COUNT(*) AS n FROM documents),
+        |filtered AS (
+        |  SELECT sh.doc_id, sh.sh FROM sh
+        |  JOIN df ON sh.sh = df.s CROSS JOIN total
+        |  WHERE df.df <= CAST(floor(total.n * 0.5) AS BIGINT)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM filtered a JOIN filtered b ON a.sh = b.sh
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+        |  JOIN sizes sb ON inter.doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2),
+        |undirected AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |closure(u, v) AS (
+        |  SELECT u, v FROM undirected
+        |  UNION
+        |  SELECT c.u, d.v FROM closure c JOIN undirected d ON c.v = d.u),
+        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM closure GROUP BY u),
+        |lab AS (SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN comp USING (doc_id)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM lab),
+        |agg AS (SELECT cluster_id, COUNT(*) AS n_members,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM lab GROUP BY cluster_id)
+        |SELECT a.cluster_id, r.doc_id AS kept_doc_id, a.n_members,
+        |  r.n_chars AS kept_chars, a.total_chars - r.n_chars AS chars_dropped
+        |FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rn = 1
+        |ORDER BY a.cluster_id""".stripMargin,
+    // Pure window SQL both sides; the (o_orderdate, o_orderkey) tiebreak
+    // totalizes change order so same-instant changes resolve identically.
+    "q128_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS version_n,
+        |  o_orderpriority,
+        |  o_orderdate AS effective_from,
+        |  lead(o_orderdate) OVER w AS effective_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version_n""".stripMargin,
+    // DuckDB's temporal RANGE frame over the order DATE covers the same
+    // rows as Spark's [-29, 0] day-number range frame; same-day peers are
+    // included by both (RANGE semantics).
+    "q129_trailing_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  COUNT(*) OVER w AS n_orders_30d,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_cents_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |  RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    // quantile_cont over exact BIGINT cents == Spark's interpolating
+    // percentile (the q51 parity); MAD = 0 groups flag nothing.
+    "q130_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(c, 0.5) AS m
+        |  FROM base GROUP BY event_type),
+        |dev AS (SELECT b.*, abs(b.c - med.m) AS ad
+        |  FROM base b JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, d.event_id, d.value,
+        |  round(d.ad / (1.4826 * mad.md), 6) AS robust_z
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE mad.md > 0 AND d.ad > 3.5 * 1.4826 * mad.md
+        |ORDER BY d.event_type, d.event_id""".stripMargin)
 }

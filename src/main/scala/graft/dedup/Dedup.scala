@@ -85,33 +85,25 @@ object Dedup {
       .select(col("doc_id") +: shingleExpr(col("text"), col("__toks"), n).as("sh") +: carried: _*)
   }
 
-  /** N-gram Jaccard similarity join over the *df-filtered shingle universe*:
-    * explode distinct shingles, drop stop-shingles (document frequency above
-    * `maxDocFreqFraction` of the corpus), equi-join on the surviving
-    * shingles, count intersections, derive |A ∪ B| from per-doc counts of
-    * the SAME filtered universe — so the ratio is a true Jaccard of the
-    * filtered sets (identical documents score exactly 1.0). Classic
-    * distributed set-similarity join — the shuffle is keyed by shingle, and
-    * the stop-shingle filter is what keeps common-shingle skew from going
-    * near-cartesian at scale. Emits pairs with jaccard ≥ `minJaccard`.
-    *
-    * Duplication-aware: Jaccard is a pure function of CONTENT, so exact
-    * duplicates are collapsed first (md5 content groups, min-id
-    * representative) and the shingle self-join runs over distinct texts
-    * only; member pairs are expanded back afterwards (cross-group pairs
-    * from the representative verdict, intra-group pairs at jaccard 1.0).
-    * Document frequencies are weighted by group size, so the stop-shingle
-    * cut sees the original corpus — the output is row-identical to the
-    * naive all-docs join (the q28 oracle runs on all docs). On a corpus
-    * with duplication factor d this cuts the quadratic join stage d²×:
-    * the 10x-replicated sf1 sweep spends its wall on output expansion,
-    * not on d²-inflated intersection counting — which is exactly how a
-    * 100 TB web crawl (30-50% exact dups) must run this operator. */
-  def ngramJaccardPairs(
+  /** Intermediates of the duplication-aware Jaccard join, at the
+    * distinct-text (`gid`) level — shared by [[ngramJaccardPairs]] (which
+    * expands back to member pairs) and [[canonicalizeClusters]] (which
+    * clusters the rep graph directly and never materializes the
+    * d²-expanded pair set). `sizes` doubles as the non-empty-filtered-set
+    * marker: a group absent from it has every shingle stop-filtered and
+    * participates in no pair. */
+  private[graft] case class JaccardGraph(members: DataFrame, groups: DataFrame,
+      sizes: DataFrame, repPairs: DataFrame)
+
+  /** The shared guts of the Jaccard family: collapse exact duplicates,
+    * shingle the distinct texts, stop-shingle filter (df weighted by group
+    * size), intersect-count equi-join, Jaccard threshold — everything up
+    * to (but not including) the member-pair expansion. */
+  private[graft] def ngramJaccardGraph(
       documents: DataFrame,
-      n: Int = 3,
-      minJaccard: Double = 0.2,
-      maxDocFreqFraction: Double = 0.5): DataFrame = {
+      n: Int,
+      minJaccard: Double,
+      maxDocFreqFraction: Double): JaccardGraph = {
     val members = documents.select(md5(col("text")).as("gid"), col("doc_id"))
     val groups = members.groupBy(col("gid"))
       .agg(count(lit(1)).as("gsz"), min(col("doc_id")).as("rid"))
@@ -146,6 +138,38 @@ object Dedup {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("gid_a", "gid_b", "n_common", "jaccard")
+    JaccardGraph(members, groups, sizes, repPairs)
+  }
+
+  /** N-gram Jaccard similarity join over the *df-filtered shingle universe*:
+    * explode distinct shingles, drop stop-shingles (document frequency above
+    * `maxDocFreqFraction` of the corpus), equi-join on the surviving
+    * shingles, count intersections, derive |A ∪ B| from per-doc counts of
+    * the SAME filtered universe — so the ratio is a true Jaccard of the
+    * filtered sets (identical documents score exactly 1.0). Classic
+    * distributed set-similarity join — the shuffle is keyed by shingle, and
+    * the stop-shingle filter is what keeps common-shingle skew from going
+    * near-cartesian at scale. Emits pairs with jaccard ≥ `minJaccard`.
+    *
+    * Duplication-aware: Jaccard is a pure function of CONTENT, so exact
+    * duplicates are collapsed first (md5 content groups, min-id
+    * representative) and the shingle self-join runs over distinct texts
+    * only; member pairs are expanded back afterwards (cross-group pairs
+    * from the representative verdict, intra-group pairs at jaccard 1.0).
+    * Document frequencies are weighted by group size, so the stop-shingle
+    * cut sees the original corpus — the output is row-identical to the
+    * naive all-docs join (the q28 oracle runs on all docs). On a corpus
+    * with duplication factor d this cuts the quadratic join stage d²×:
+    * the 10x-replicated sf1 sweep spends its wall on output expansion,
+    * not on d²-inflated intersection counting — which is exactly how a
+    * 100 TB web crawl (30-50% exact dups) must run this operator. */
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.2,
+      maxDocFreqFraction: Double = 0.5): DataFrame = {
+    val g = ngramJaccardGraph(documents, n, minJaccard, maxDocFreqFraction)
+    import g.{members, repPairs, sizes}
     // Cross-group expansion: every member pair inherits the representative
     // verdict (the integers n_common/n_a/n_b are the same, so the double
     // is bit-identical to the naive join's).
@@ -510,6 +534,56 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_representative"))
       .orderBy("doc_id")
+  }
+
+  /** Near-dup cluster CANONICALIZATION — the selection policy that turns a
+    * cluster assignment into an actual deduplicated corpus: one row per
+    * n-gram-Jaccard cluster with the kept document (longest `n_chars`,
+    * ties to the smallest `doc_id` — "keep the fullest copy"), the member
+    * count, and the bytes the collapse saves. This is the decision record
+    * a curation pipeline audits before dropping data.
+    *
+    * Scale shape: clustering runs on the REP graph from
+    * [[ngramJaccardGraph]] — the d²-expanded member pair set (which
+    * [[ngramJaccardPairs]] must emit, because its contract is pairs) is
+    * never materialized here; members inherit their rep's component label
+    * by two broadcast-size joins. The one subtlety is the empty-filtered-
+    * set carve-out (the q69 zero-vector analog): a text whose every
+    * shingle is stop-filtered participates in NO pair — not even with its
+    * byte-identical copies — so those members stay singleton clusters
+    * rather than inheriting the rep label, exactly matching the transitive
+    * closure of the pair output both engines compute. */
+  def canonicalizeClusters(documents: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.2): DataFrame = {
+    val g = ngramJaccardGraph(documents, n, minJaccard, maxDocFreqFraction = 0.5)
+    val repEdges = g.repPairs
+      .join(g.groups.select(col("gid").as("gid_a"), col("rid").as("doc_a")), Seq("gid_a"))
+      .join(g.groups.select(col("gid").as("gid_b"), col("rid").as("doc_b")), Seq("gid_b"))
+      .select("doc_a", "doc_b")
+    val reps = g.groups.select(col("rid").as("doc_id"))
+    val repLabels = clusterPairs(reps, repEdges)
+      .select(col("doc_id").as("rid"), col("cluster_id"))
+    // Rep labels are min-member ids already: each rep is its group's min
+    // id, and the component label is the min rep id.
+    val labels = g.members
+      .join(g.groups.select(col("gid"), col("rid")), Seq("gid"))
+      .join(repLabels, Seq("rid"))
+      .join(g.sizes.select(col("gid"), lit(true).as("__nonempty")), Seq("gid"), "left")
+      .select(col("doc_id"),
+        when(col("__nonempty"), col("cluster_id")).otherwise(col("doc_id"))
+          .as("cluster_id"))
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("__total"),
+        // Keep-policy as one orderable struct: max n_chars, then min id.
+        min(struct((-col("n_chars")).as("__neg"), col("doc_id").as("__id")))
+          .as("__best"))
+      .select(col("cluster_id"), col("__best.__id").as("kept_doc_id"),
+        col("n_members"), (-col("__best.__neg")).as("kept_chars"),
+        (col("__total") + col("__best.__neg")).as("chars_dropped"))
+      .orderBy("cluster_id")
   }
 
 }

@@ -182,4 +182,45 @@ object Curation {
           .otherwise(array().cast("array<int>"))).as("epoch"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** Temperature-scaled mixture weights — the standard LLM-data recipe for
+    * softening a raw-size mixture: source s gets sampling probability
+    * p_s ∝ (tokens_s)^α with α = 1/2, which up-weights small high-quality
+    * sources relative to proportional sampling (α = 1) without going
+    * uniform (α = 0). α is fixed at 1/2 deliberately: `sqrt` is
+    * correctly-rounded IEEE in every engine, so the weights are
+    * reproducible cross-engine, where a general `pow(x, 0.3)` is
+    * last-ulp implementation-defined.
+    *
+    * One groupBy over the corpus (token counts are exact BIGINT whitespace
+    * counts, the q25 parity convention); the per-source frame is tiny
+    * (#sources rows), so the normalization join is a broadcast and the
+    * whole op is a single shuffle regardless of corpus size. `quota_tokens`
+    * is each source's integer token allocation under `budgetTokens`,
+    * computed from the 6-digit-rounded probability so both engines
+    * allocate identically.
+    *
+    * The normalizer is a FIXED-ORDER left fold over the source-sorted
+    * weight list (the q53 BM25 term-sum convention), not a plain `sum`:
+    * float addition is order-sensitive at the last ulp, and a partial-agg
+    * merge order that varies run-to-run would make `p_sample` itself
+    * nondeterministic. A fold over #sources values is plan-trivial. */
+  def temperatureMixture(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    val perSource = documents
+      .select(col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+    val total = perSource.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, weight))), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x.weight)").as("__tw"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("p_sample", round(col("weight") / col("__tw"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("weight"), 6).as("weight"), col("p_sample"),
+        expr(s"CAST(round($budgetTokens * p_sample) AS BIGINT)")
+          .as("quota_tokens"))
+      .orderBy("source")
+  }
 }

@@ -463,4 +463,96 @@ object Relational {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
   }
+
+  /** Slowly-changing-dimension TYPE-2 history build — the warehouse
+    * primitive behind every "as of" dimension: collapse an ordered change
+    * stream (here each customer's orders, `o_orderpriority` as the tracked
+    * attribute) into validity intervals, emitting a row only when the
+    * tracked value CHANGES, with `effective_from`/`effective_to` bounds
+    * and an `is_current` flag on the open interval. The result is what
+    * [[AsOfJoin]] consumes on the dimension side.
+    *
+    * Two windows over the SAME (key, time) partitioning — Catalyst plans
+    * them into one sort + one exchange; cost is a single shuffle by key,
+    * which is the floor for any per-key ordered pass. Change-row order is
+    * made total by the (o_orderdate, o_orderkey) tiebreak so reruns and
+    * the oracle agree on which same-instant change wins. */
+  def scd2Build(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("__prev", lag(col("o_orderpriority"), 1).over(w))
+      // First row per key (__prev null) always opens an interval.
+      .filter(col("__prev").isNull || col("__prev") =!= col("o_orderpriority"))
+    val wc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("version_n", row_number().over(wc).cast("int"))
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(wc))
+      .select(col("o_custkey"), col("version_n"),
+        col("o_orderpriority"), col("o_orderdate").as("effective_from"),
+        col("effective_to"), col("effective_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "version_n")
+  }
+
+  /** Trailing time-RANGE window aggregate — "orders and spend in the 30
+    * days up to and including this order", per customer. A rows-frame
+    * (q12) counts a fixed number of neighbors; a range-frame covers a
+    * fixed TIME span, which is what rolling business metrics mean. Spark
+    * range frames need a numeric ordering key, so the order date becomes
+    * a day number; same-day orders are frame peers in both engines (the
+    * RANGE semantics), making the result insensitive to intra-day order.
+    * Money is summed in exact BIGINT cents (the q123 convention).
+    *
+    * Scale shape: one shuffle by customer; the running frame is
+    * incremental per partition — no self-join against a date dimension,
+    * which is the naive formulation's quadratic trap. */
+  def trailingIntervalAgg(orders: DataFrame, days: Int = 30): DataFrame = {
+    require(days >= 1, s"days must be >= 1, got $days")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("__day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("__cents"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .withColumn("sum_cents_30d", sum(col("__cents")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("n_orders_30d"), col("sum_cents_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Robust outlier detection by median absolute deviation — the
+    * data-quality screen that (unlike [[zscoreNormalize]]'s mean/stddev)
+    * a few extreme rows cannot drag: flag events whose value deviates
+    * from its type's median by more than `k` normalized MADs
+    * (MAD × 1.4826 ≈ σ under normality). Exact medians via the same
+    * interpolating `percentile` the engines already agree on (q51);
+    * inputs are BIGINT cents so every interpolation midpoint is
+    * float-exact.
+    *
+    * Scale shape: two aggregation passes each producing a #groups-row
+    * frame that broadcasts back — the deviation filter itself is
+    * map-side; no window over the data. Degenerate groups (MAD = 0, over
+    * half the group at the median) flag nothing rather than dividing by
+    * zero — a documented policy, not an accident. */
+  def madOutliers(events: DataFrame, k: Double = 3.5): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"), col("value"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("__c"))
+    val med = base.groupBy(col("event_type"))
+      .agg(expr("percentile(__c, 0.5D)").as("__med"))
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .withColumn("__ad", abs(col("__c") - col("__med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(__ad, 0.5D)").as("__mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("__mad") > 0 &&
+        col("__ad") > lit(k) * lit(1.4826) * col("__mad"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("__ad") / (lit(1.4826) * col("__mad")), 6).as("robust_z"))
+      .orderBy("event_type", "event_id")
+  }
 }

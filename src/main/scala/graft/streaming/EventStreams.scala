@@ -221,10 +221,18 @@ object EventStreams {
     * sessions that an out-of-order event bridges collapse into one).
     * Complete output mode so every settled session is in the final table;
     * the watermark still bounds the merge state the engine must retain at
-    * true-streaming scale. */
+    * true-streaming scale.
+    *
+    * Settled through a DISTRIBUTED sink, not the driver: output here is
+    * one row per (user, session) — it grows with the data, and the sf3
+    * sweep (90 k users, 3 M events) pushed it past [[SettleMaxRows]],
+    * which is exactly the failure the settle guard exists to catch. Each
+    * complete-mode batch overwrite-writes the full aggregate to parquet
+    * via foreachBatch (executor-parallel); the settled result is read
+    * back as an ordinary distributed scan. This is also the production
+    * shape — a per-entity result table refreshed per micro-batch. */
   def userSessionsStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
     val ss = streamSession(spark)
     val stream = eventsStream(ss, sfDir, maxFilesPerTrigger)
       .withWatermark("ts", "2 hours")
@@ -237,13 +245,23 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("n_events"),
         col("sum_value"))
+    // Fixed scratch names (wiped per call): one settled copy + one live
+    // checkpoint per JVM at any moment, never an accumulation.
+    val out = graft.WorkDirs.fresh("stream_sessions_settle")
+    val chk = graft.WorkDirs.fresh("stream_sessions_chk")
     val q = stream.writeStream
       .outputMode("complete")
-      .format("memory")
-      .queryName(name)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
       .start()
-    try q.processAllAvailable() finally q.stop()
-    settle(spark, name, ss.table(name).orderBy("user_id", "session_start"))
+    try q.processAllAvailable() finally {
+      q.stop()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(chk))
+      catch { case _: java.io.IOException => () }
+    }
+    spark.read.parquet(out).orderBy("user_id", "session_start")
   }
 
   /** Per-user running totals as a Spark 4 `StatefulProcessor` — the

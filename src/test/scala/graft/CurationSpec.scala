@@ -200,4 +200,32 @@ class CurationSpec extends SparkSpec {
     assert(audit.forall(r => r.getLong(1) == r.getLong(2)))
     assert(audit.forall(r => r.getString(3).startsWith("Customer#*****")))
   }
+
+  test("temperatureMixture: sqrt weights, normalized probabilities, integer quotas") {
+    import spark.implicits._
+    // source a: 4 tokens -> weight 2; source b: 16 tokens -> weight 4.
+    // p = 1/3 and 2/3; budget 600 -> quotas 200 / 400.
+    val docs = Seq(
+      (1L, "a", "w w w w"),
+      (2L, "b", "w w w w w w w w"),
+      (3L, "b", "w w w w w w w w"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.temperatureMixture(docs, budgetTokens = 600L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(out("a") == ((1L, 4L, 2.0, 0.333333, 200L)))
+    assert(out("b") == ((2L, 16L, 4.0, 0.666667, 400L)))
+  }
+
+  test("temperatureMixture on testdata: probabilities sum to ~1, quotas to ~budget") {
+    val out = Curation.temperatureMixture(
+      Tables.documents(spark, sf), budgetTokens = 1000000L).collect()
+    val pSum = out.map(_.getDouble(4)).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p_sample sums to $pSum")
+    val qSum = out.map(_.getLong(5)).sum
+    assert(math.abs(qSum - 1000000L) <= out.length, s"quotas sum to $qSum")
+    // Temperature flattens: every p_sample sits between uniform and the
+    // raw token share's extremes.
+    assert(out.forall(_.getDouble(4) > 0))
+  }
 }

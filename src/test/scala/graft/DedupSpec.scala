@@ -204,4 +204,69 @@ class DedupSpec extends SparkSpec {
     // With the default cap it is reported for every training doc.
     assert(Dedup.ngramContamination(train, bench, n = 8).count() == 3)
   }
+
+  test("canonicalizeClusters keeps the longest member, ties to min id") {
+    import spark.implicits._
+    // One near-dup cluster {1,2,3} (3 shares 2's text verbatim) among
+    // distinct fillers (enough corpus that the shared shingles stay under
+    // the 50% df guard). Lengths 20, 90, 90: docs 2 and 3 tie on n_chars
+    // -> doc 2 (smaller id) is kept.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val fillers = (11L to 17L).map(i =>
+      (i, s"f$i g$i h$i k$i m$i n$i p$i r$i", 40L))
+    val docs = (Seq(
+      (1L, a + " iota", 20L),
+      (2L, a + " kappa", 90L),
+      (3L, a + " kappa", 90L)) ++ fillers)
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalizeClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.head == ((1L, 2L, 3L, 90L, 110L)))
+    assert(out.tail.toSeq == fillers.map { case (i, _, c) => (i, i, 1L, c, 0L) })
+  }
+
+  test("canonicalizeClusters equals the naive closure of ngramJaccardPairs") {
+    // The adversarial duplicated corpus: replicate sf0.001 documents 3x
+    // byte-identical (distinct ids). The rep-graph path must reproduce the
+    // aggregate of clusterPairs over the FULL expanded pair set.
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val dup = base
+      .unionByName(base.withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(base.withColumn("doc_id", col("doc_id") + 200000L))
+    val fast = Dedup.canonicalizeClusters(dup)
+    val naive = {
+      val pairs = Dedup.ngramJaccardPairs(dup).select("doc_a", "doc_b")
+      val labels = Dedup.clusterPairs(dup.select("doc_id"), pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      dup.select(col("doc_id"), col("n_chars")).join(labels, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("__total"),
+          min(struct((-col("n_chars")).as("__neg"), col("doc_id").as("__id")))
+            .as("__best"))
+        .select(col("cluster_id"), col("__best.__id").as("kept_doc_id"),
+          col("n_members"), (-col("__best.__neg")).as("kept_chars"),
+          (col("__total") + col("__best.__neg")).as("chars_dropped"))
+    }
+    assert(fast.count() == naive.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // The duplicated fixture must actually exercise multi-member clusters.
+    assert(fast.filter(col("n_members") >= 3).count() > 0)
+  }
+
+  test("canonicalizeClusters: all-stop-shingle docs stay singletons (empty-set carve-out)") {
+    import spark.implicits._
+    // 'x' is the whole shingle of four short docs -> df 4 > 50% of 6 ->
+    // filtered everywhere -> those docs pair with nothing, not even their
+    // byte-identical copies.
+    val docs = Seq(
+      (1L, "x", 1L), (2L, "x", 1L), (3L, "x", 1L), (4L, "x", 1L),
+      (5L, "p q r s t u v w", 15L), (6L, "p q r s t u v w", 15L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalizeClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 4L, 1L),
+      (5L, 5L, 2L)))
+  }
 }

@@ -175,4 +175,80 @@ class RelationalSpec extends SparkSpec {
       .map(_.getDouble(3)).toSeq
     assert(got == Seq(-1.0, 0.0, 1.0))
   }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"$s 00:00:00")
+
+  test("scd2Build collapses runs and bounds validity intervals") {
+    import spark.implicits._
+    // cust 1: A, A, B, A -> three versions (run of A collapses); cust 2:
+    // single order -> one open interval.
+    val orders = Seq(
+      (1L, 10L, ts("1995-01-01"), "A"),
+      (1L, 11L, ts("1995-02-01"), "A"),
+      (1L, 12L, ts("1995-03-01"), "B"),
+      (1L, 13L, ts("1995-04-01"), "A"),
+      (2L, 20L, ts("1996-01-01"), "C"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val out = Relational.scd2Build(orders).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "A", ts("1995-01-01"), Some(ts("1995-03-01")), false),
+      (1L, 2, "B", ts("1995-03-01"), Some(ts("1995-04-01")), false),
+      (1L, 3, "A", ts("1995-04-01"), None, true),
+      (2L, 1, "C", ts("1996-01-01"), None, true)))
+  }
+
+  test("scd2Build resolves same-instant changes by the o_orderkey tiebreak") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 11L, ts("1995-01-01"), "B"),
+      (1L, 10L, ts("1995-01-01"), "A"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val out = Relational.scd2Build(orders).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getBoolean(5)))
+    assert(out.toSeq == Seq((1, "A", false), (2, "B", true)))
+  }
+
+  test("trailingIntervalAgg covers a 30-day time span, same-day rows are peers") {
+    import spark.implicits._
+    val orders = Seq(
+      (10L, 1L, ts("1995-01-01"), 1.00),  // day 0
+      (11L, 1L, ts("1995-01-11"), 2.00),  // day 10
+      (12L, 1L, ts("1995-01-30"), 4.00),  // day 29: covers 0,10,29
+      (13L, 1L, ts("1995-01-31"), 8.00),  // day 30: covers 10,29,30 (day 0 ages out)
+      (14L, 1L, ts("1995-04-11"), 16.00), // day 100: alone
+      (15L, 2L, ts("1995-01-05"), 1.00),  // same-day peers: both see both
+      (16L, 2L, ts("1995-01-05"), 2.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.trailingIntervalAgg(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(10L) == ((1L, 100L)))
+    assert(out(11L) == ((2L, 300L)))
+    assert(out(12L) == ((3L, 700L)))
+    assert(out(13L) == ((3L, 1400L)))
+    assert(out(14L) == ((1L, 1600L)))
+    assert(out(15L) == ((2L, 300L)) && out(16L) == ((2L, 300L)))
+  }
+
+  test("madOutliers flags only deviations beyond k normalized MADs") {
+    import spark.implicits._
+    // cents: 100,200,300,400,10000 -> median 300, ads 200,100,0,100,9700,
+    // MAD 100 -> cut 3.5*1.4826*100 = 518.9: only the 100.00 row flags.
+    val events = Seq(
+      (1L, "view", 1.00), (2L, "view", 2.00), (3L, "view", 3.00),
+      (4L, "view", 4.00), (5L, "view", 100.00),
+      // Degenerate group: MAD = 0 (majority at the median) -> no flags,
+      // even for the wild value.
+      (6L, "click", 5.00), (7L, "click", 5.00), (8L, "click", 5.00),
+      (9L, "click", 999.00))
+      .toDF("event_id", "event_type", "value")
+    val out = Relational.madOutliers(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 1)
+    val (tpe, id, z) = out.head
+    assert(tpe == "view" && id == 5L)
+    assert(math.abs(z - 9700.0 / (1.4826 * 100.0)) < 1e-6)
+  }
 }
