@@ -942,7 +942,36 @@ object SparkEntry {
     // Robust MAD outlier screen: |value − type median| > 3.5 normalized
     // MADs. Exact-integer medians via the q51 percentile-parity convention.
     "q130_mad_outliers" -> ((s, d) =>
-      Relational.madOutliers(Tables.events(s, d))))
+      Relational.madOutliers(Tables.events(s, d))),
+    // Gaps-and-islands: per-customer consecutive-month order streaks via
+    // the rank-difference trick. Full oracle — pure window SQL.
+    "q131_order_streaks" -> ((s, d) =>
+      Relational.orderStreaks(Tables.orders(s, d))),
+    // Entity-resolution fuzzy matching: levenshtein within last-token
+    // blocks over the DISTINCT name vocabulary (collapse → compare →
+    // expand multiplicities). Full oracle — DuckDB has levenshtein().
+    "q132_fuzzy_match" -> ((s, d) =>
+      Dedup.fuzzyNameMatch(Tables.part(s, d))),
+    // First-order Markov transition matrix over per-user event streams.
+    "q133_event_transitions" -> ((s, d) =>
+      graft.ops.Events.eventTransitions(Tables.events(s, d))),
+    // Last-touch attribution: most recent prior non-purchase touch within
+    // 7 days, one ignore-nulls last() — no self-join. Exact micros delta.
+    "q134_last_touch" -> ((s, d) =>
+      graft.ops.Events.lastTouchAttribution(Tables.events(s, d))),
+    // Hybrid retrieval: reciprocal-rank fusion of the q53 BM25 arm and the
+    // q29 dense arm (rank-space fusion — both arms' oracles already pin
+    // the rank order, so the fused scores are engine-exact).
+    "q135_rrf_hybrid" -> ((s, d) =>
+      graft.text.Search.rrfTopK(Tables.documents(s, d),
+        Tables.embeddings(s, d), Bm25Terms, 0)),
+    // Winsorization: per-segment [p05, p95] clamp over exact cents.
+    "q136_winsorize" -> ((s, d) =>
+      Relational.winsorize(Tables.customer(s, d))),
+    // Pareto frontier on (price ↓, size ↑): O(n log n) sliced prefix-max
+    // plan vs the oracle's quadratic NOT EXISTS.
+    "q137_pareto_parts" -> ((s, d) =>
+      Relational.paretoFrontier(Tables.part(s, d))))
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -2237,5 +2266,159 @@ object SparkEntry {
         |  round(d.ad / (1.4826 * mad.md), 6) AS robust_z
         |FROM dev d JOIN mad USING (event_type)
         |WHERE mad.md > 0 AND d.ad > 3.5 * 1.4826 * mad.md
-        |ORDER BY d.event_type, d.event_id""".stripMargin)
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
+    // Same month-number arithmetic (year*12 + month - 1), same
+    // rank-difference island labeling, same (len DESC, start) keep order.
+    "q131_order_streaks" ->
+      """WITH months AS (
+        |  SELECT DISTINCT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+        |  FROM orders),
+        |streaks AS (
+        |  SELECT o_custkey, COUNT(*) AS len, MIN(m) AS start_m
+        |  FROM (SELECT o_custkey, m,
+        |          m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS isl
+        |        FROM months)
+        |  GROUP BY o_custkey, isl),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY len DESC, start_m) AS rn FROM streaks)
+        |SELECT o_custkey,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_months,
+        |  COUNT(*) AS n_streaks,
+        |  CAST(MAX(len) AS INTEGER) AS longest_streak,
+        |  CAST(make_date(
+        |    CAST(MIN(CASE WHEN rn = 1 THEN start_m END) // 12 AS INTEGER),
+        |    CAST(MIN(CASE WHEN rn = 1 THEN start_m END) % 12 + 1 AS INTEGER),
+        |    1) AS TIMESTAMP) AS longest_start
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Same blocking key (last whitespace token), same distance cut; the
+    // quadratic stage runs over distinct names in both engines.
+    "q132_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+        |b AS (
+        |  SELECT name, n_parts,
+        |    list_extract(string_split(name, ' '),
+        |      len(string_split(name, ' '))) AS block
+        |  FROM names)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        |  levenshtein(a.name, c.name) AS dist,
+        |  a.n_parts AS n_parts_a, c.n_parts AS n_parts_b,
+        |  a.n_parts * c.n_parts AS n_row_pairs
+        |FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+        |WHERE levenshtein(a.name, c.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    // Same (ts, event_id) total order; probability is one double division
+    // per row in both engines.
+    "q133_event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) /
+        |    SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // The three IGNORE-NULLS last_value calls are null exactly on purchase
+    // rows, so they agree on which prior row they pick; the micros delta
+    // is exact integer epoch arithmetic.
+    "q134_last_touch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |      IGNORE NULLS) OVER w AS t_ts,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER w AS t_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS t_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |k AS (SELECT *,
+        |    t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY AS ok FROM e)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  CASE WHEN ok THEN t_type END AS touch_type,
+        |  CASE WHEN ok THEN t_id END AS touch_id,
+        |  CASE WHEN ok THEN epoch_us(ts) - epoch_us(t_ts) END
+        |    AS micros_since_touch
+        |FROM k WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    // The q53 lexical arm (LIMIT 50) and the q29 dense arm (LIMIT 50),
+    // fused in RANK space — the score scales never mix, so the only
+    // doubles are two reciprocals of small integers.
+    "q135_rrf_hybrid" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS dl FROM documents),
+        |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs),
+        |toks AS (SELECT doc_id, dl, unnest(w) AS tok FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'scan', 'merge') GROUP BY 1, 2, 3),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1))
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))) AS term_score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN corpus),
+        |piv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN tok = 'spark' THEN term_score END) AS s1,
+        |    max(CASE WHEN tok = 'scan' THEN term_score END) AS s2,
+        |    max(CASE WHEN tok = 'merge' THEN term_score END) AS s3
+        |  FROM scored GROUP BY doc_id),
+        |lexall AS (
+        |  SELECT doc_id,
+        |    round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 6) AS bm25
+        |  FROM piv ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id AS id,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+        |      AS lex_rank FROM lexall),
+        |denseall AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS cosine_sim
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY cosine_sim DESC, vec_id LIMIT 50),
+        |dense AS (SELECT vec_id AS id,
+        |    CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS INTEGER)
+        |      AS dense_rank FROM denseall),
+        |f AS (SELECT COALESCE(lex.id, dense.id) AS id, lex_rank, dense_rank
+        |  FROM lex FULL OUTER JOIN dense ON lex.id = dense.id)
+        |SELECT id, lex_rank, dense_rank,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+        |        COALESCE(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6)
+        |    AS rrf_score
+        |FROM f ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin,
+    // quantile_cont over exact BIGINT cents (q51/q130 parity), then the
+    // clamp and single division are the same IEEE ops both sides.
+    "q136_winsorize" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+        |st AS (SELECT c_mktsegment,
+        |    quantile_cont(c, 0.05) AS lo, quantile_cont(c, 0.95) AS hi
+        |  FROM base GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(greatest(least(CAST(c AS DOUBLE), hi), lo)
+        |    / CAST(100 AS DOUBLE), 6) AS acctbal_w,
+        |  c < lo AS clipped_low, c > hi AS clipped_high
+        |FROM base JOIN st USING (c_mktsegment) ORDER BY c_custkey""".stripMargin,
+    // The oracle is the quadratic dominance NOT EXISTS — the semantics,
+    // stated directly; the Spark plan replaces it with the sliced
+    // prefix-max. Price comparisons on the raw 2-decimal doubles are
+    // exact, so cents vs raw agree.
+    "q137_pareto_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin)
 }

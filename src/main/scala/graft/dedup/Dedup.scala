@@ -586,4 +586,37 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Edit-distance fuzzy matching with token blocking — the entity-
+    * resolution primitive: find name pairs within Levenshtein `maxDist`,
+    * comparing only names that share a blocking key (here the last
+    * whitespace token, the head noun of the part vocabulary). Collapses to
+    * DISTINCT names first — the duplication-aware shape every near-dup
+    * operator here uses — so the quadratic stage runs over the name
+    * VOCABULARY (bounded by the domain's naming scheme), never over the
+    * row count, and per-name multiplicities expand the result afterwards.
+    *
+    * Scale shape: groupBy(name) collapse, an equi-join on the block key
+    * (no cartesian — the blocker IS the join key), codegen'd levenshtein
+    * on the candidate pairs, and a #pairs-sized output. At 100 TB the
+    * expensive O(|a|·|b|) distance runs once per distinct candidate pair,
+    * not once per row pair. */
+  def fuzzyNameMatch(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("name").as("name_a"),
+      col("n_parts").as("n_parts_a"), col("block"))
+    val b = names.select(col("name").as("name_b"),
+      col("n_parts").as("n_parts_b"), col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"),
+        (col("n_parts_a") * col("n_parts_b")).as("n_row_pairs"))
+      .orderBy("name_a", "name_b")
+  }
+
 }

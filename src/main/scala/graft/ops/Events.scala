@@ -178,6 +178,73 @@ object Events {
     * (cohort_day, day_offset) aggregate is tiny. Per-group state is O(1)
     * throughout — no windows, no per-user lists — so the plan holds at
     * any event volume. */
+  /** First-order Markov transition matrix over each user's event stream:
+    * count and probability of event type B immediately following type A.
+    * The sequence-mining primitive behind next-action prediction and
+    * anomalous-flow detection. Order within a user is made total by the
+    * (ts, event_id) tiebreak, so same-instant events transition
+    * identically in both engines.
+    *
+    * Scale shape: one shuffle by user for the lead() window; the bigram
+    * aggregate is two-phase (map-side partials), and the per-source
+    * normalizer is a window over the #types² aggregated frame — tiny by
+    * construction. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p_transition",
+        round(col("n_transitions") / sum(col("n_transitions")).over(wt), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Last-touch attribution: for every purchase, the most recent PRIOR
+    * non-purchase event by the same user, provided it happened within the
+    * attribution window. One ignore-nulls `last()` over a rows frame —
+    * deterministic under the (ts, event_id) total order — then the window
+    * bound nulls out stale touches; no per-purchase range probe, no
+    * self-join.
+    *
+    * Scale shape: one shuffle by user, one ordered pass; the frame is a
+    * running carry (Spark evaluates the unbounded-preceding last() as an
+    * incremental accumulator, not a re-scan per row). */
+  def lastTouchAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = struct(col("ts"), col("event_id"), col("event_type"))
+    val prior = last(
+      when(col("event_type") =!= "purchase", touch), ignoreNulls = true).over(w)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("__t", prior)
+      .filter(col("event_type") === "purchase")
+      // A touch attributes only inside the window; outside → null columns,
+      // keeping one output row per purchase either way.
+      .withColumn("__ok",
+        col("__t").isNotNull &&
+          col("__t.ts") >= col("ts") - expr(s"INTERVAL $windowDays DAYS"))
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        when(col("__ok"), col("__t.event_type")).as("touch_type"),
+        when(col("__ok"), col("__t.event_id")).as("touch_id"),
+        // Exact integer microseconds — the fixture's timestamps carry
+        // sub-second precision, so a seconds-truncating diff would be
+        // engine-convention-sensitive; the raw epoch-micros delta is not.
+        when(col("__ok"),
+          unix_micros(col("ts")) - unix_micros(col("__t.ts")))
+          .as("micros_since_touch"))
+      .orderBy("purchase_id")
+  }
+
   def cohortRetention(events: DataFrame,
                       cohortEvent: String = "purchase",
                       horizonDays: Int = 14): DataFrame = {

@@ -112,6 +112,54 @@ object Partitioning {
       .drop("__slice", "__local", "__offset")
   }
 
+  /** Two-level sliced running MAX — [[slicedPrefix]]'s sibling for prefix
+    * extrema: annotates each row with the max of `maxOf` over all rows
+    * BEFORE it in (`valueCol`, tieBreak) order (`strictCol`, null on the
+    * global first row) and over rows up to and including it (`leqCol`).
+    * Same machinery as the prefix sum: driver-literal quantile slices,
+    * a per-slice rows-frame window, and a broadcast prefix of per-slice
+    * maxima — never a global single-partition window over the data.
+    *
+    * The strict column uses a rows frame, so it is a strict PREFIX max in
+    * row order; it is a strict VALUE max (max over `valueCol` strictly
+    * less) exactly when `valueCol` is unique per row — which is how
+    * [[graft.ops.Relational.paretoFrontier]] calls it (one row per
+    * distinct price). Callers with duplicate values get row-order
+    * semantics, as any window would give. */
+  def slicedRunningMax(df: DataFrame, valueCol: String, tieBreak: Seq[String],
+      maxOf: Column, strictCol: String, leqCol: String): DataFrame = {
+    require(!df.columns.contains("__slice") && !df.columns.contains("__v"),
+      "slicedRunningMax reserves __slice/__v; rename the input column")
+    val slices = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until slices).map(_.toDouble / slices).toArray
+    val bounds = df.stat.approxQuantile(valueCol, probes, 0.001).distinct.sorted
+    val sliceCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(
+        array(bounds.map(b => lit(b)): _*),
+        b => b < col(valueCol).cast("double")))
+    val sliced = df.withColumn("__slice", sliceCol).withColumn("__v", maxOf)
+    val order = (col(valueCol) +: tieBreak.map(col)).map(_.asc)
+    val base = Window.partitionBy(col("__slice")).orderBy(order: _*)
+    val local = sliced
+      .withColumn("__leq_l", max(col("__v")).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__str_l", max(col("__v")).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)))
+    // One row per slice; the exclusive prefix over slice order is tiny and
+    // comes back broadcast, exactly as in slicedPrefix.
+    val offs = local.groupBy(col("__slice")).agg(max(col("__v")).as("__smax"))
+      .withColumn("__off", max(col("__smax")).over(
+        Window.orderBy(col("__slice")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__slice"), col("__off"))
+    // greatest() ignores nulls (null only when ALL inputs are null), which
+    // is exactly the identity-element behavior a prefix max needs.
+    local.join(broadcast(offs), Seq("__slice"))
+      .withColumn(strictCol, greatest(col("__off"), col("__str_l")))
+      .withColumn(leqCol, greatest(col("__off"), col("__leq_l")))
+      .drop("__slice", "__v", "__leq_l", "__str_l", "__off")
+  }
+
   def saltedEquiJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFrom: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")

@@ -555,4 +555,102 @@ object Relational {
         round(col("__ad") / (lit(1.4826) * col("__mad")), 6).as("robust_z"))
       .orderBy("event_type", "event_id")
   }
+
+  /** Gaps-and-islands order streaks — per customer, runs of CONSECUTIVE
+    * active months (an order in every month of the run). The rank-difference
+    * trick: over each customer's distinct month numbers in order,
+    * `month - row_number()` is constant exactly within a consecutive run,
+    * so it labels islands without any self-join or iteration. Month number
+    * is `year*12 + (month-1)`, making "consecutive" pure integer adjacency.
+    *
+    * Scale shape: one shuffle by customer; both windows and the streak
+    * aggregate share the (customer) partitioning, and the per-customer
+    * frames are bounded by the calendar (#months), never by data volume. */
+  def orderStreaks(orders: DataFrame): DataFrame = {
+    val months = orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("__m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("__m"))
+    val streaks = months
+      .withColumn("__isl", col("__m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), min(col("__m")).as("__start"))
+    val best = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("__len").desc, col("__start"))
+    streaks
+      .withColumn("__rn", row_number().over(best))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("__len")).as("n_active_months"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).cast("int").as("longest_streak"),
+        // The earliest longest streak's first month, rendered as a date.
+        min(when(col("__rn") === 1, col("__start"))).as("__bs"))
+      // Timestamp, not date: the fixture's own date columns are physical
+      // timestamps, and both engines' parquet writers agree on that type.
+      .withColumn("longest_start",
+        make_date(floor(col("__bs") / 12), pmod(col("__bs"), lit(12)) + 1, lit(1))
+          .cast("timestamp"))
+      .select(col("o_custkey"), col("n_active_months"), col("n_streaks"),
+        col("longest_streak"), col("longest_start"))
+      .orderBy("o_custkey")
+  }
+
+  /** Winsorization — robust feature clipping: clamp each customer's
+    * balance into its segment's [p05, p95] band. The companion to
+    * [[zscoreNormalize]] (which outliers CAN drag) and [[madOutliers]]
+    * (which flags, where this repairs). Percentiles are the interpolating
+    * `percentile` over exact BIGINT cents — the q51 parity convention —
+    * then the clamp and the single /100 division are identical IEEE ops
+    * in both engines.
+    *
+    * Scale shape: one aggregation pass to a #segments-row stats frame,
+    * broadcast back; the clamp itself is map-side — no window, no second
+    * shuffle of the data. */
+  def winsorize(customer: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val base = customer.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"), expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("__c"))
+    val stats = base.groupBy(col("c_mktsegment"))
+      .agg(expr(s"percentile(__c, ${lo}D)").as("__lo"),
+        expr(s"percentile(__c, ${hi}D)").as("__hi"))
+    base.join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(greatest(least(col("__c").cast("double"), col("__hi")), col("__lo")) / 100.0, 6)
+          .as("acctbal_w"),
+        (col("__c") < col("__lo")).as("clipped_low"),
+        (col("__c") > col("__hi")).as("clipped_high"))
+      .orderBy("c_custkey")
+  }
+
+  /** Pareto frontier (skyline): parts not dominated on (price ↓, size ↑) —
+    * another part is at most as expensive AND at least as large, strictly
+    * better on one. The naive formulation is a quadratic NOT EXISTS
+    * self-join (that IS the DuckDB oracle); the distributed plan is
+    * O(n log n): collapse to one row per distinct price-in-cents with the
+    * max size at that price, take a [[Partitioning.slicedRunningMax]]
+    * strict-prefix max over price order (price is unique per row there, so
+    * the rows-frame IS the strict value prefix), and re-join by price.
+    * A part survives iff no strictly-cheaper price reaches its size and
+    * no same-price part strictly exceeds it.
+    *
+    * Scale shape: the quadratic candidate join is gone entirely; cost is
+    * one groupBy(price), the two-level sliced window over the distinct-
+    * price frame, and one equi-join back — all key-partitioned. */
+  def paretoFrontier(part: DataFrame): DataFrame = {
+    val withCents = part.withColumn("__cents",
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+    val perPrice = withCents.groupBy(col("__cents"))
+      .agg(max(col("p_size")).as("__mx"))
+    val pref = Partitioning.slicedRunningMax(
+      perPrice, "__cents", Seq.empty, col("__mx"), "__strict", "__leq")
+    withCents
+      .join(pref.select(col("__cents"), col("__mx"), col("__strict")), Seq("__cents"))
+      .filter(
+        (col("__strict").isNull || col("__strict") < col("p_size")) &&
+          col("__mx") === col("p_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
 }

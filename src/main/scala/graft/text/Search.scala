@@ -64,4 +64,41 @@ object Search {
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of a lexical (BM25) and a dense (embedding
+    * cosine) ranking — the standard hybrid-retrieval combiner:
+    * RRF(d) = Σ_r 1/(c + rank_r(d)) over the rankings that contain d.
+    * Ranks, not scores, are fused, so the two arms' incomparable score
+    * scales never touch; with c = 60 (the original RRF constant) the sum
+    * of at most two reciprocals of small integers is reproducible IEEE
+    * math in any engine.
+    *
+    * Scale shape: each arm is already top-k (TakeOrderedAndProject); the
+    * fusion operates on two ≤k-row frames — the rank windows and the
+    * outer join cost nothing at any corpus size. Ids are fused on the
+    * shared document id (vec_id references doc_id). */
+  def rrfTopK(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], queryVecId: Long, k: Int = 20, armK: Int = 50,
+      c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && armK >= k, s"need 1 <= k <= armK, got k=$k armK=$armK")
+    // Both arms order deterministically (score desc, id) — the same total
+    // order their own oracles pin — so row_number is cross-engine stable.
+    val lex = bm25TopK(documents, terms, armK)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val dense = graft.sim.Similarity.bruteForceTopK(embeddings, queryVecId, armK)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(desc("cosine_sim"), col("vec_id"))))
+      .select(col("vec_id").as("id"), col("dense_rank"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(c) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(desc("rrf_score"), col("id"))
+      .limit(k)
+  }
 }

@@ -269,4 +269,21 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 4L, 1L),
       (5L, 5L, 2L)))
   }
+
+  test("fuzzyNameMatch blocks on the last token and expands multiplicities") {
+    import spark.implicits._
+    // "red ring" x2 and "rad ring" x1 share the block and sit at distance
+    // 1 -> one pair with n_row_pairs 2. "blue bolt" is alone in its block;
+    // "red wing" shares no block with the rings despite distance 2.
+    val part = Seq(
+      (1L, "red ring"), (2L, "red ring"), (3L, "rad ring"),
+      (4L, "blue bolt"), (5L, "red wing"))
+      .toDF("p_partkey", "p_name")
+    val out = Dedup.fuzzyNameMatch(part).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("rad ring", "red ring", 1, 1L, 2L, 2L)))
+    // Distance cut: threshold 0 keeps nothing.
+    assert(Dedup.fuzzyNameMatch(part, maxDist = 1).count() == 1)
+  }
 }

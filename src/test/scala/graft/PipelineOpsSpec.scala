@@ -219,4 +219,58 @@ class PipelineOpsSpec extends SparkSpec {
     val total = events.filter(col("user_id") < 100).count()
     assert(perUser.map(_.getLong(4)).sum == total)
   }
+
+  test("eventTransitions counts per-user bigrams with exact probabilities") {
+    import spark.implicits._
+    // u1: view -> click -> view; u2: view -> click. Bigrams:
+    // (view,click) x2, (click,view) x1. From 'view' total 2 -> p=1.0;
+    // from 'click' total 1 -> p=1.0. Add a same-instant tie resolved by
+    // event_id: u3 two events at one ts -> order (id 31, 32).
+    val ev = Seq(
+      (11L, 1L, "2024-01-01 00:00:00", "view"),
+      (12L, 1L, "2024-01-01 00:01:00", "click"),
+      (13L, 1L, "2024-01-01 00:02:00", "view"),
+      (21L, 2L, "2024-01-01 00:00:00", "view"),
+      (22L, 2L, "2024-01-01 00:01:00", "click"),
+      (31L, 3L, "2024-01-01 00:00:00", "error"),
+      (32L, 3L, "2024-01-01 00:00:00", "signup"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    val out = Events.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "view") -> ((1L, 1.0)),
+      ("error", "signup") -> ((1L, 1.0))))
+  }
+
+  test("lastTouchAttribution picks the latest prior touch inside the window") {
+    import spark.implicits._
+    // u1: click at t0, purchase at t0+1h (attributed to the click),
+    // purchase at t0+2h (attributed to the SAME click — purchases are
+    // not touches), view 10 days before a later purchase (outside the
+    // 7-day window -> null attribution).
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "click"),
+      (2L, 1L, "2024-01-01 01:00:00", "purchase"),
+      (3L, 1L, "2024-01-01 02:00:00", "purchase"),
+      (4L, 2L, "2024-01-01 00:00:00", "view"),
+      (5L, 2L, "2024-01-11 00:00:00", "purchase"),
+      (6L, 3L, "2024-01-01 00:00:00", "purchase"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    val out = Events.lastTouchAttribution(ev).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(2L) == ((Some("click"), Some(1L), Some(3600000000L))))
+    assert(out(3L) == ((Some("click"), Some(1L), Some(7200000000L))))
+    assert(out(5L) == ((None, None, None)))
+    assert(out(6L) == ((None, None, None)))
+    assert(out.size == 4)
+  }
 }

@@ -251,4 +251,85 @@ class RelationalSpec extends SparkSpec {
     assert(tpe == "view" && id == 5L)
     assert(math.abs(z - 9700.0 / (1.4826 * 100.0)) < 1e-6)
   }
+
+  test("orderStreaks labels islands across year boundaries") {
+    import spark.implicits._
+    // c1: Jan-Mar 2020 then Jun 2020 (two orders in Feb collapse to one
+    // active month). c2: Dec 2019 + Jan 2020 — consecutive ACROSS the
+    // year boundary, the case naive month arithmetic breaks.
+    val orders = Seq(
+      (1L, "2020-01-15"), (1L, "2020-02-01"), (1L, "2020-02-20"),
+      (1L, "2020-03-05"), (1L, "2020-06-01"),
+      (2L, "2019-12-31"), (2L, "2020-01-01"))
+      .toDF("o_custkey", "d")
+      .select(col("o_custkey"), to_timestamp(col("d")).as("o_orderdate"))
+    val out = Relational.orderStreaks(orders).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getTimestamp(4).toString)))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 3, "2020-01-01 00:00:00.0")))
+    assert(out(2L) == ((2L, 1L, 2, "2019-12-01 00:00:00.0")))
+  }
+
+  test("winsorize clamps into the segment's [p05, p95] band") {
+    import spark.implicits._
+    // 21 values, 1.00..21.00: p05 = index 0.05*20 = 1 -> 2.00 exactly,
+    // p95 = index 19 -> 20.00. Ends clip, interior passes through.
+    val customers = (1 to 21).map(i => (i.toLong, "SEG", i.toDouble))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val out = Relational.winsorize(customers).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2.0, true, false)))
+    assert(out(2L) == ((2.0, false, false)))
+    assert(out(10L) == ((10.0, false, false)))
+    assert(out(20L) == ((20.0, false, false)))
+    assert(out(21L) == ((20.0, false, true)))
+  }
+
+  test("paretoFrontier keeps exactly the non-dominated parts") {
+    import spark.implicits._
+    // (price, size): duplicates on the frontier both survive (dominance
+    // needs one STRICT edge); same-price smaller sizes die; equal-size
+    // costlier parts die.
+    val part = Seq(
+      (1L, "a", 0.50, 1), (2L, "b", 1.00, 5), (3L, "c", 1.00, 5),
+      (4L, "d", 1.00, 3), (5L, "e", 2.00, 5), (6L, "f", 2.00, 7),
+      (7L, "g", 3.00, 7))
+      .toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+    val out = Relational.paretoFrontier(part).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("paretoFrontier matches the quadratic dominance check on real data") {
+    val part = Tables.part(spark, sf).select("p_partkey", "p_name", "p_retailprice", "p_size")
+    val fast = Relational.paretoFrontier(part).collect().map(_.getLong(0)).toSet
+    val rows = part.collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val slow = rows.filter { case (_, p, s) =>
+      !rows.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s)
+      }
+    }.map(_._1).toSet
+    assert(fast == slow)
+  }
+
+  test("slicedRunningMax equals a single global running-max window") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (((i * 37) % 101).toDouble, i.toLong))
+      .toDF("v", "id")
+    val got = graft.ops.Partitioning
+      .slicedRunningMax(df, "v", Seq("id"), col("id") % 7, "strict", "leq")
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val rows = (1 to 500).map(i => (((i * 37) % 101).toDouble, i.toLong, i.toLong % 7))
+      .sortBy(t => (t._1, t._2))
+    val expected = rows.zipWithIndex.map { case ((v, id, m), ix) =>
+      val before = rows.take(ix).map(_._3)
+      (v, id, if (before.isEmpty) None else Some(before.max),
+        (m +: before).max)
+    }
+    assert(got.toSeq == expected)
+  }
 }

@@ -51,4 +51,37 @@ class SearchSpec extends SparkSpec {
     val scores = out.map(_.getDouble(1)).toSeq
     assert(scores == scores.sorted(Ordering[Double].reverse))
   }
+
+  test("rrfTopK fuses ranks: items in both arms beat single-arm items") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val out = Search.rrfTopK(docs, emb, Seq("spark", "scan", "merge"), 0,
+      k = 20, armK = 50).collect()
+    assert(out.length == 20)
+    // Scores are exactly the rank formula.
+    out.foreach { r =>
+      val lex = Option(r.get(1)).map(_.asInstanceOf[Int])
+      val dense = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val want = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        dense.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+      assert(lex.nonEmpty || dense.nonEmpty)
+    }
+    // Descending by fused score.
+    val s = out.map(_.getDouble(3)).toSeq
+    assert(s == s.sorted(Ordering[Double].reverse))
+    // A doc ranked in BOTH arms outscores a same-rank single-arm doc:
+    // 1/(60+r) + something > 1/(60+r).
+    val both = out.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = out.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    if (both.nonEmpty && single.nonEmpty) {
+      val minBothRank = both.map(r => math.min(r.getInt(1), r.getInt(2))).min
+      single.filter(r =>
+        Option(r.get(1)).orElse(Option(r.get(2)))
+          .exists(_.asInstanceOf[Int] >= minBothRank))
+        .foreach { r =>
+          assert(r.getDouble(3) <= both.map(_.getDouble(3)).max)
+        }
+    }
+  }
 }
