@@ -971,7 +971,30 @@ object SparkEntry {
     // Pareto frontier on (price ↓, size ↑): O(n log n) sliced prefix-max
     // plan vs the oracle's quadratic NOT EXISTS.
     "q137_pareto_parts" -> ((s, d) =>
-      Relational.paretoFrontier(Tables.part(s, d))))
+      Relational.paretoFrontier(Tables.part(s, d))),
+    // Streaming Markov transitions: flatMapGroupsWithState with horizon-
+    // bounded buffers; settles equal to batch q133 — ONE oracle string
+    // covers both (the q116/q112 pairing for sequence mining).
+    "q138_stream_transitions" -> ((s, d) =>
+      graft.streaming.EventStreams.transitionsStream(s, d)),
+    // Grouped weighted median over exact cents via the two-level sliced
+    // prefix sum — integer crossing test, no interpolation convention.
+    "q139_weighted_median" -> ((s, d) =>
+      Relational.weightedMedian(Tables.lineitem(s, d))),
+    // Incremental SCD2 maintenance: build history on orders before the
+    // split date, apply the rest as an append-only batch; must equal the
+    // full rebuild — its oracle IS q128's SQL.
+    "q140_scd2_apply" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val cut = lit(Scd2SplitDate).cast("timestamp")
+      Relational.scd2Apply(
+        Relational.scd2Build(orders.filter(col("o_orderdate") < cut)),
+        orders.filter(col("o_orderdate") >= cut))
+    }))
+
+  /** q140's history/batch split point (strictly-before vs at-or-after, so
+    * no change event can tie across the boundary). */
+  val Scd2SplitDate = "1999-01-01"
 
   /** Query terms for q53 (fixed order — the BM25 sum folds left-to-right
     * over exactly this sequence in both engines). */
@@ -2221,22 +2244,8 @@ object SparkEntry {
         |ORDER BY a.cluster_id""".stripMargin,
     // Pure window SQL both sides; the (o_orderdate, o_orderkey) tiebreak
     // totalizes change order so same-instant changes resolve identically.
-    "q128_scd2" ->
-      """WITH ch AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
-        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM orders),
-        |f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
-        |SELECT o_custkey,
-        |  CAST(row_number() OVER w AS INTEGER) AS version_n,
-        |  o_orderpriority,
-        |  o_orderdate AS effective_from,
-        |  lead(o_orderdate) OVER w AS effective_to,
-        |  lead(o_orderdate) OVER w IS NULL AS is_current
-        |FROM f
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, version_n""".stripMargin,
+    // Shared with q140: the incremental apply must equal this full rebuild.
+    "q128_scd2" -> Scd2Sql,
     // DuckDB's temporal RANGE frame over the order DATE covers the same
     // rows as Spark's [-29, 0] day-number range frame; same-day peers are
     // included by both (RANGE semantics).
@@ -2309,19 +2318,9 @@ object SparkEntry {
         |WHERE levenshtein(a.name, c.name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
     // Same (ts, event_id) total order; probability is one double division
-    // per row in both engines.
-    "q133_event_transitions" ->
-      """WITH nx AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS to_type
-        |  FROM events),
-        |c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
-        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n_transitions,
-        |  round(CAST(n_transitions AS DOUBLE) /
-        |    SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // per row in both engines. Shared with q138: the settled stream must
+    // equal the same matrix.
+    "q133_event_transitions" -> TransitionsSql,
     // The three IGNORE-NULLS last_value calls are null exactly on purchase
     // rows, so they agree on which prior row they pick; the micros delta
     // is exact integer epoch arithmetic.
@@ -2420,5 +2419,61 @@ object SparkEntry {
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        |ORDER BY p_retailprice, p_partkey""".stripMargin)
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    // The settled stream and the batch operator share ONE truth.
+    "q138_stream_transitions" -> TransitionsSql,
+    // Same cumulative-crossing definition: smallest value whose cumulative
+    // BIGINT-cents weight reaches half the group total.
+    "q139_weighted_median" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, l_quantity,
+        |    SUM(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM base)
+        |SELECT l_returnflag,
+        |  MIN(l_quantity) AS weighted_median_qty,
+        |  CAST(MIN(tot) AS BIGINT) AS total_weight_cents
+        |FROM c WHERE 2 * cum >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The incremental apply is correct iff it equals the full rebuild.
+    "q140_scd2_apply" -> Scd2Sql)
+
+  /** SCD2 full-rebuild SQL — q128's oracle AND q140's (the incremental
+    * apply is checked against the very same rebuild). */
+  val Scd2Sql: String =
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey,
+      |  CAST(row_number() OVER w AS INTEGER) AS version_n,
+      |  o_orderpriority,
+      |  o_orderdate AS effective_from,
+      |  lead(o_orderdate) OVER w AS effective_to,
+      |  lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM f
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version_n""".stripMargin
+
+  /** Markov transition-matrix SQL — q133's oracle AND q138's (the settled
+    * stream must equal the batch matrix). */
+  val TransitionsSql: String =
+    """WITH nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  round(CAST(n_transitions AS DOUBLE) /
+      |    SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+      |FROM c ORDER BY from_type, to_type""".stripMargin
 }

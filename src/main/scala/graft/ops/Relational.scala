@@ -556,6 +556,98 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** Grouped WEIGHTED median — the robust-stats sibling of the plain
+    * percentile (q51): the smallest quantity whose cumulative revenue
+    * weight reaches half the group's total. `2·cum ≥ tot` in exact BIGINT
+    * cents, so the crossing point is integer arithmetic, no interpolation
+    * convention to align. The cumulative itself is
+    * [[Partitioning.slicedPrefix]] — the scale-safe two-level prefix sum —
+    * so a 5-group 100 TB frame is NOT serialized through 5 tasks the way
+    * a naive running-total window would.
+    *
+    * The first row crossing the half (in (value, tiebreak) order) always
+    * carries the weighted-median VALUE: the cumulative crosses inside
+    * value v's row run iff v is the smallest value whose full-run
+    * cumulative reaches half, so min(value) over crossing rows is exact
+    * regardless of how ties on v are ordered internally. */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_returnflag"), col("l_quantity"),
+      col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("__w"))
+    Partitioning.slicedPrefix(base, "l_quantity",
+      Seq("l_orderkey", "l_linenumber"), Seq("l_returnflag"),
+      col("__w"), "__cum", Some("__tot"))
+      .filter(lit(2) * col("__cum") >= col("__tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("weighted_median_qty"),
+        min(col("__tot")).as("total_weight_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Incremental SCD2 maintenance — [[scd2Build]]'s delta form: fold an
+    * append-only batch of new change events into an existing history
+    * WITHOUT rebuilding untouched keys. The contract is the standard
+    * warehouse ingest one: batch rows for a key all land at-or-after the
+    * key's open interval (append-only per key); under it the result is
+    * provably identical to rebuilding from the full change stream — which
+    * is exactly how q140 is oracle-checked (its DuckDB oracle IS q128's
+    * full rebuild).
+    *
+    * Scale shape: every stage is keyed by customer and sized by the BATCH
+    * (plus one open-interval row per touched key, fetched by an equi-join
+    * against the batch's key set) — history rows for untouched keys are
+    * passed through untouched. Refresh cost tracks the delta, not the
+    * table, which is the property that makes daily 100 TB dimension
+    * maintenance affordable. */
+  def scd2Apply(history: DataFrame, batch: DataFrame): DataFrame = {
+    val keys = batch.select(col("o_custkey")).distinct()
+    val affected = history.join(keys, Seq("o_custkey"), "left_semi")
+    val untouched = history.join(keys, Seq("o_custkey"), "left_anti")
+    val open = affected.filter(col("is_current"))
+      .select(col("o_custkey"), col("version_n").as("__open_v"),
+        col("o_orderpriority").as("__open_attr"),
+        col("effective_from").as("__open_from"))
+    // Seed each key's change detection with its open interval (sorted
+    // first by construction: append-only puts every batch row at-or-after
+    // the open row's effective_from; the -1 orderkey breaks exact ties in
+    // the seed's favor).
+    val seeded = batch
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), lit(false).as("__seed"))
+      .unionByName(open.select(col("o_custkey"),
+        lit(-1L).as("o_orderkey"), col("__open_from").as("o_orderdate"),
+        col("__open_attr").as("o_orderpriority"), lit(true).as("__seed")))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val newChanges = seeded
+      .withColumn("__prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(!col("__seed") &&
+        (col("__prev").isNull || col("__prev") =!= col("o_orderpriority")))
+    val wc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val newRows = newChanges
+      .join(open.select(col("o_custkey"), col("__open_v")), Seq("o_custkey"), "left")
+      .withColumn("version_n",
+        (coalesce(col("__open_v"), lit(0)) + row_number().over(wc)).cast("int"))
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(wc))
+      .select(col("o_custkey"), col("version_n"), col("o_orderpriority"),
+        col("o_orderdate").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+    // Close each touched key's previously-open interval at its first new
+    // change (keys whose batch rows never change the attribute keep their
+    // open row as-is).
+    val firstNew = newRows.groupBy(col("o_custkey"))
+      .agg(min(col("effective_from")).as("__close_at"))
+    val reclosed = affected.join(firstNew, Seq("o_custkey"), "left")
+      .select(col("o_custkey"), col("version_n"), col("o_orderpriority"),
+        col("effective_from"),
+        when(col("is_current") && col("__close_at").isNotNull, col("__close_at"))
+          .otherwise(col("effective_to")).as("effective_to"),
+        (col("is_current") && col("__close_at").isNull).as("is_current"))
+    untouched.unionByName(reclosed).unionByName(newRows)
+      .orderBy("o_custkey", "version_n")
+  }
+
   /** Gaps-and-islands order streaks — per customer, runs of CONSECUTIVE
     * active months (an order in every month of the run). The rank-difference
     * trick: over each customer's distinct month numbers in order,

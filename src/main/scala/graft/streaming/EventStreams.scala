@@ -31,6 +31,17 @@ final case class FunnelProgress(user_id: Long, n_seen: Long, stage_reached: Int)
 /** Emitted per user per micro-batch: totals observed so far. */
 final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Per-user transition state (see [[EventStreams.transitionsStream]]):
+  * events still inside the lateness horizon as (ts, event_id, type),
+  * finalized bigram counts keyed "from to", the user's max event time,
+  * and the strictly-monotone emission selector. */
+final case class TransitionsState(buffer: List[(Long, Long, String)],
+    counts: Map[String, Long], maxTs: Long, nSeen: Long)
+
+/** One bigram of a user's transition snapshot at `n_seen` events. */
+final case class TransitionEmit(user_id: Long, n_seen: Long,
+    from_type: String, to_type: String, n: Long)
+
 /** Structured Streaming over the events table (SURVEY.md §2.10): the same
   * windowed aggregation expressions as [[graft.ops.Events]], executed by the
   * micro-batch engine with a watermark. For verification the parquet fixture
@@ -505,6 +516,99 @@ object EventStreams {
     * accumulate copies without bound. The settled output is the bounded
     * verification artifact — materialize it locally, drop the view. */
   private[graft] val SettleMaxRows = 2000000
+
+  /** Streaming Markov transition matrix — [[graft.ops.Events.eventTransitions]]
+    * run incrementally under `flatMapGroupsWithState`, settled output equal
+    * to the batch matrix (and q133's oracle) for any arrival whose
+    * lateness stays inside `horizon` (the watermark-style contract of
+    * [[watermarkDedupStream]]; arbitrary-disorder feeds need the
+    * full-buffer degenerate case `horizon = Long.MaxValue`).
+    *
+    * State is bounded the way a production bigram counter must be: an
+    * adjacent pair (a, b) is FINAL once b.ts falls `horizon` behind the
+    * user's max event time — no in-contract late arrival can land between
+    * a and b — so its count folds into a #types² map and `a` leaves the
+    * buffer. What remains per user is the count map plus only the events
+    * inside the lateness horizon (and the one frontier event that will
+    * pair with the next arrival): activity-rate × horizon, not stream
+    * length. Each batch emits the user's full current bigram multiset
+    * (counts ⊕ buffer pairs, ≤ #types² + horizon-buffer rows) under a
+    * strictly-monotone `n_seen`; the settled read keeps the last emission
+    * per user and aggregates across users. */
+  def transitionsStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      horizonHours: Int = 2): DataFrame = {
+    import spark.implicits._
+    val H =
+      if (horizonHours == Int.MaxValue) Long.MaxValue
+      else horizonHours.toLong * 3600L * 1000000L
+    val name = s"graft_stream_trans_${runId.incrementAndGet()}"
+    val ss = streamSession(spark)
+    val emitted = eventsStreamMicros(ss, sfDir, maxFilesPerTrigger)
+      .as[EventRec]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionsState, TransitionEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EventRec], state: GroupState[TransitionsState]) =>
+          val prev = state.getOption.getOrElse(
+            TransitionsState(Nil, Map.empty, Long.MinValue, 0L))
+          var maxTs = prev.maxTs
+          var n = prev.nSeen
+          val incoming = events.map { e =>
+            n += 1
+            if (e.ts > maxTs) maxTs = e.ts
+            (e.ts, e.event_id, e.event_type)
+          }.toList
+          // Buffer sorted by the same (ts, id) total order the batch
+          // operator uses; intra-batch arrival order is irrelevant.
+          val buf = (prev.buffer ++ incoming).sortBy(t => (t._1, t._2))
+          val frontier = if (H == Long.MaxValue) Long.MinValue else maxTs - H
+          // Finalize the adjacent pairs whose RIGHT endpoint is beyond any
+          // in-contract late arrival; the left endpoints leave the buffer,
+          // the last finalized event stays as the pairing frontier.
+          var counts = prev.counts
+          var k = 0
+          while (k + 1 < buf.length && buf(k + 1)._1 < frontier) {
+            val key = buf(k)._3 + " " + buf(k + 1)._3
+            counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
+            k += 1
+          }
+          val kept = buf.drop(k)
+          state.update(TransitionsState(kept, counts, maxTs, n))
+          // Snapshot emission: finalized counts plus the still-open pairs.
+          var snap = counts
+          kept.sliding(2).foreach {
+            case List(a, b) =>
+              val key = a._3 + " " + b._3
+              snap = snap.updated(key, snap.getOrElse(key, 0L) + 1L)
+            case _ => ()
+          }
+          snap.iterator.map { case (key, c) =>
+            val Array(from, to) = key.split(" ", 2)
+            TransitionEmit(uid, n, from, to, c)
+          }
+      }
+    val q = emitted.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val lastSnap = ss.table(name)
+      .withColumn("__rx", dense_rank().over(w))
+      .filter(col("__rx") === 1)
+    val totals = lastSnap
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n_transitions"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    val out = totals
+      .withColumn("p_transition",
+        round(col("n_transitions") / sum(col("n_transitions")).over(wt), 6))
+      .orderBy("from_type", "to_type")
+    settle(spark, name, out)
+  }
 
   private[graft] def settle(spark: SparkSession, sinkName: String,
       result: DataFrame, maxRows: Int = SettleMaxRows): DataFrame = {

@@ -314,6 +314,46 @@ class RelationalSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("weightedMedian picks the smallest value whose cum weight reaches half") {
+    import spark.implicits._
+    // Group A: values 1,2,3 with weights 1.00, 1.00, 5.00 -> total 7.00;
+    // cum crosses 3.5 at value 3. Group B: 10 with weight 2.00, 20 with
+    // 2.00 -> cum(10)=2.00, 2*200 >= 400 exactly -> median 10 (the
+    // at-half boundary belongs to the lower value).
+    val li = Seq(
+      ("A", 1.0, 1.00), ("A", 2.0, 1.00), ("A", 3.0, 5.00),
+      ("B", 10.0, 2.00), ("B", 20.0, 2.00))
+      .zipWithIndex.map { case ((f, q, p), i) => (f, q, p, i.toLong, i) }
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice",
+        "l_orderkey", "l_linenumber")
+    val out = Relational.weightedMedian(li).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out("A") == ((3.0, 700L)))
+    assert(out("B") == ((10.0, 400L)))
+  }
+
+  test("scd2Apply equals the full rebuild at any append-only split") {
+    val orders = Tables.orders(spark, sf)
+    val full = Relational.scd2Build(orders).collect().map(_.toSeq).toSeq
+    Seq("1996-01-01", "1999-01-01", "2001-01-01").foreach { cut =>
+      val c = lit(cut).cast("timestamp")
+      val inc = Relational.scd2Apply(
+        Relational.scd2Build(orders.filter(col("o_orderdate") < c)),
+        orders.filter(col("o_orderdate") >= c))
+        .collect().map(_.toSeq).toSeq
+      assert(inc == full, s"split at $cut diverged from the full rebuild")
+    }
+    // Degenerate splits: empty batch (apply must be a no-op union) and
+    // empty history (apply must equal building from the batch alone).
+    val none = orders.filter(lit(false))
+    val emptyBatch = Relational.scd2Apply(Relational.scd2Build(orders), none)
+      .collect().map(_.toSeq).toSeq
+    assert(emptyBatch == full)
+    val emptyHist = Relational.scd2Apply(Relational.scd2Build(none), orders)
+      .collect().map(_.toSeq).toSeq
+    assert(emptyHist == full)
+  }
+
   test("slicedRunningMax equals a single global running-max window") {
     import spark.implicits._
     val df = (1 to 500).map(i => (((i * 37) % 101).toDouble, i.toLong))

@@ -362,4 +362,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 5)
     assert(!spark.catalog.tableExists("graft_settle_cap_probe"))
   }
+
+  test("streaming transitions settle to the batch matrix, multi-batch, bounded state") {
+    val batch = graft.ops.Events.eventTransitions(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSeq
+
+    val single = EventStreams.transitionsStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == batch)
+
+    // Forced multi-batch, carved into contiguous TIME slices (the
+    // watermark-style contract: lateness bounded by the horizon). State
+    // must carry cross-boundary pairs AND finalized counts across
+    // triggers; tight 2h horizon exercises real pruning on a fixture
+    // spanning weeks.
+    val dir = tempDir("graft_trans_multi")
+    val ev = Tables.events(spark, sf)
+    val sliced = ev.withColumn("__slice",
+      org.apache.spark.sql.functions.ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { i =>
+      val slice = sliced.filter(col("__slice") === i).drop("__slice")
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    }
+    val multi = EventStreams.transitionsStream(spark, dir,
+      maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
+    assert(multi == batch)
+
+    // Degenerate unbounded-horizon mode must agree too (the arbitrary-
+    // disorder fallback).
+    val unbounded = EventStreams.transitionsStream(spark, dir,
+      maxFilesPerTrigger = Some(1), horizonHours = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(unbounded == batch)
+  }
 }
