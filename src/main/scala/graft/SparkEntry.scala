@@ -990,7 +990,17 @@ object SparkEntry {
       Relational.scd2Apply(
         Relational.scd2Build(orders.filter(col("o_orderdate") < cut)),
         orders.filter(col("o_orderdate") >= cut))
-    }))
+    }),
+    // Point-in-time SCD2 enrichment: each (re-dated) event gets the
+    // dimension attribute current AT its timestamp, via the one-shuffle
+    // as-of plan. Oracle: DuckDB native ASOF LEFT JOIN over the same
+    // deduped change rows.
+    "q141_scd2_lookup" -> ((s, d) =>
+      Relational.scd2PointInTime(Tables.events(s, d), Tables.orders(s, d))),
+    // Delta-join algebra: A₀⋈B₀ ∪ ΔA⋈B ∪ A₀⋈ΔB aggregated; the oracle is
+    // the PLAIN join — overlap or gap in the buckets breaks exact cents.
+    "q142_incremental_join" -> ((s, d) =>
+      Relational.incrementalJoinRevenue(Tables.orders(s, d), Tables.lineitem(s, d))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2441,7 +2451,38 @@ object SparkEntry {
         |FROM c WHERE 2 * cum >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The incremental apply is correct iff it equals the full rebuild.
-    "q140_scd2_apply" -> Scd2Sql)
+    "q140_scd2_apply" -> Scd2Sql,
+    // Same change detection + same-instant dedup (max_by over the
+    // (date, orderkey) order), then DuckDB's native ASOF LEFT JOIN —
+    // inclusive >= on both sides, matching the union+running-last plan.
+    "q141_scd2_lookup" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |f AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+        |dedup AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS effective_from,
+        |    max_by(o_orderpriority, o_orderkey) AS o_orderpriority
+        |  FROM f GROUP BY 1, 2),
+        |facts AS (SELECT event_id, user_id,
+        |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER)
+        |      AS TIMESTAMP) AS fact_ts
+        |  FROM events)
+        |SELECT f.event_id, f.user_id, f.fact_ts,
+        |  d.o_orderpriority AS priority_at_fact
+        |FROM facts f ASOF LEFT JOIN dedup d
+        |  ON f.user_id = d.user_id AND f.fact_ts >= d.effective_from
+        |ORDER BY f.event_id""".stripMargin,
+    // The plain join IS the oracle for the delta-join partition.
+    "q142_incremental_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** SCD2 full-rebuild SQL — q128's oracle AND q140's (the incremental
     * apply is checked against the very same rebuild). */

@@ -648,6 +648,61 @@ object Relational {
       .orderBy("o_custkey", "version_n")
   }
 
+  /** Point-in-time SCD2 enrichment — the consuming half of [[scd2Build]]:
+    * for each fact, the dimension attribute that was CURRENT at the
+    * fact's own timestamp (leakage-free enrichment, the same discipline
+    * [[AsOfJoin]] gives feature lookups). Facts are events re-dated onto
+    * the dimension's history span by exact integer arithmetic
+    * (1995-01-01 + event_id % 2400 days) so the lookup genuinely varies
+    * over versions instead of always hitting the final one.
+    *
+    * The interval probe (`from <= ts < to`) is NOT executed as an
+    * interval join: change rows at same-instant ties are collapsed to
+    * the winning version (max version_n — the (date, orderkey) order's
+    * last), then [[AsOfJoin.asOf]] attaches the latest change ≤ ts in
+    * one union + running-last window — one shuffle keyed by customer,
+    * no per-key range explosion. */
+  def scd2PointInTime(events: DataFrame, orders: DataFrame): DataFrame = {
+    val changes = scd2Build(orders)
+      .groupBy(col("o_custkey").as("user_id"), col("effective_from"))
+      .agg(expr("max_by(o_orderpriority, version_n)").as("o_orderpriority"))
+    val facts = events.select(col("event_id"), col("user_id"),
+      date_add(lit("1995-01-01").cast("date"), (col("event_id") % 2400).cast("int"))
+        .cast("timestamp").as("fact_ts"))
+    AsOfJoin.asOf(facts, changes, Seq("user_id"), "fact_ts", "effective_from",
+      Seq("o_orderpriority"))
+      .select(col("event_id"), col("user_id"), col("fact_ts"),
+        col("o_orderpriority").as("priority_at_fact"))
+      .orderBy("event_id")
+  }
+
+  /** Incremental equi-join maintenance (delta-join algebra): with A split
+    * into (A₀, ΔA) and B into (B₀, ΔB), the join is EXACTLY the disjoint
+    * union A₀⋈B₀ ∪ ΔA⋈B ∪ A₀⋈ΔB — the refresh rule that lets a
+    * materialized 100 TB join absorb a daily delta at delta cost (the two
+    * delta joins ship |Δ|-sized probe sides; A₀⋈B₀ is the persisted prior
+    * result, recomputed inline here only because this demo owns no store).
+    * The aggregate folds the three buckets, and the oracle is the PLAIN
+    * join — any overlap or gap in the bucket algebra breaks the exact
+    * cents totals. */
+  def incrementalJoinRevenue(orders: DataFrame, lineitem: DataFrame,
+      cut: String = "1999-01-01"): DataFrame = {
+    val c = lit(cut).cast("timestamp")
+    val aOld = orders.filter(col("o_orderdate") < c)
+    val aNew = orders.filter(col("o_orderdate") >= c)
+    val bOld = lineitem.filter(col("l_shipdate") < c)
+    val bNew = lineitem.filter(col("l_shipdate") >= c)
+    val key = col("o_orderkey") === col("l_orderkey")
+    val joined = aOld.join(bOld, key)
+      .unionByName(aNew.join(lineitem, key))
+      .unionByName(aOld.join(bNew, key))
+    joined
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gaps-and-islands order streaks — per customer, runs of CONSECUTIVE
     * active months (an order in every month of the run). The rank-difference
     * trick: over each customer's distinct month numbers in order,

@@ -354,6 +354,46 @@ class RelationalSpec extends SparkSpec {
     assert(emptyHist == full)
   }
 
+  test("scd2PointInTime attaches the version current at each fact's date") {
+    import spark.implicits._
+    // Customer 7's priority: P1 from 1995-03-01, P2 from 1998-01-01.
+    // Facts re-date as 1995-01-01 + event_id % 2400 days:
+    //   id 0    -> 1995-01-01 (before any version -> null)
+    //   id 100  -> 1995-04-11 (inside P1)
+    //   id 1200 -> 1998-04-16 (inside P2, the open interval)
+    val orders = Seq(
+      (7L, 1L, "1995-03-01", "P1"),
+      (7L, 2L, "1996-06-01", "P1"), // no change — must not create a version
+      (7L, 3L, "1998-01-01", "P2"))
+      .toDF("o_custkey", "o_orderkey", "d", "o_orderpriority")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_timestamp(col("d")).as("o_orderdate"), col("o_orderpriority"))
+    val events = Seq((0L, 7L), (100L, 7L), (1200L, 7L), (5L, 99L))
+      .toDF("event_id", "user_id")
+    val out = Relational.scd2PointInTime(events, orders).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out(0L).isEmpty)
+    assert(out(100L).contains("P1"))
+    assert(out(1200L).contains("P2"))
+    assert(out(5L).isEmpty) // unknown customer
+  }
+
+  test("incrementalJoinRevenue equals the plain join at any cut") {
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    Seq("1995-01-01", "1999-01-01", "2002-01-01").foreach { cut =>
+      val inc = Relational.incrementalJoinRevenue(orders, lineitem, cut)
+        .collect().map(_.toSeq).toSeq
+      assert(inc == plain, s"cut $cut diverged from the plain join")
+    }
+  }
+
   test("slicedRunningMax equals a single global running-max window") {
     import spark.implicits._
     val df = (1 to 500).map(i => (((i * 37) % 101).toDouble, i.toLong))
