@@ -261,6 +261,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in co-purchase:\n$p")
   }
 
+  test("q132 fuzzy match: block key is an equi-join, never a cartesian") {
+    assertPlan("q132_fuzzy_match",
+      mustContain = Seq("HashAggregate"), // the distinct-name collapse
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q137 pareto: sliced prefix-max, no quadratic join, data window keyed by slice") {
+    val p = plan("q137_pareto_parts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic pairing in pareto plan:\n$p")
+    // Same two-level contract as q114: the per-price running max is
+    // partitioned by __slice; an unpartitioned window ordering the price
+    // cents (the naive global skyline sweep) must not touch the data
+    // branch. The per-slice maxima prefix legitimately orders __slice
+    // unpartitioned (≤ #slices rows) and comes back broadcast.
+    val naiveWindow = """\[\], \[__cents#\d+""".r
+    assert(p.contains("__slice"), s"q137: slice key missing:\n$p")
+    assert(naiveWindow.findFirstIn(p).isEmpty,
+      s"q137: unpartitioned price-ordered window over the data survives:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q137: offsets join not broadcast:\n$p")
+  }
+
+  test("q139 weighted median: sliced prefix sum with broadcast offsets") {
+    // The naive formulation — one window per returnflag ordered by
+    // quantity — caps parallelism at #groups; the two-level plan keys the
+    // full-data window by (__slice, group).
+    val naiveWindow = """\], \[l_returnflag#\d+\], \[l_quantity#\d+""".r
+    val p = plan("q139_weighted_median")
+    assert(p.contains("__slice"), s"q139: slice key missing:\n$p")
+    assert(naiveWindow.findFirstIn(p).isEmpty,
+      s"q139: group-only window over the data survives:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q139: offsets join not broadcast:\n$p")
+  }
+
+  test("q141 as-of enrichment keeps the single-shuffle union+window shape") {
+    assertPlan("q141_scd2_lookup",
+      mustContain = Seq("Union", "Window"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q142 delta-join buckets all plan as equi joins") {
+    assertPlan("q142_incremental_join",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
   test("q35 near-dup: the quadratic scan runs over collapsed reps, expansion is keyed") {
     val p = plan("q35_embedding_neardup")
     // The only nested-loop join allowed is the rep-level broadcast scan;
