@@ -1000,7 +1000,10 @@ object SparkEntry {
     // Delta-join algebra: A₀⋈B₀ ∪ ΔA⋈B ∪ A₀⋈ΔB aggregated; the oracle is
     // the PLAIN join — overlap or gap in the buckets breaks exact cents.
     "q142_incremental_join" -> ((s, d) =>
-      Relational.incrementalJoinRevenue(Tables.orders(s, d), Tables.lineitem(s, d))))
+      Relational.incrementalJoinRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Session path analysis: top event-type walks per 5-min-gap session.
+    "q143_session_paths" -> ((s, d) =>
+      graft.ops.Events.sessionPaths(Tables.events(s, d))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2482,7 +2485,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS revenue_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q80's sessionization convention (new session at gap >= 5 min, the
+    // session_window half-open-interval semantics), then an ordered
+    // string_agg walk per session and a top-k histogram.
+    "q143_session_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |paths AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
 
   /** SCD2 full-rebuild SQL — q128's oracle AND q140's (the incremental
     * apply is checked against the very same rebuild). */

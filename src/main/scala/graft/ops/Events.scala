@@ -245,6 +245,26 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** Session path analysis — the top event-type sequences users walk
+    * within a session (5-minute inactivity gap, the [[userSessions]]
+    * convention): `session_window` groups server-side, the per-session
+    * event list is collected and sorted by the (ts, event_id) total order
+    * INSIDE the aggregate (bounded by session length — activity rate ×
+    * gap horizon, never stream length), and the path histogram ranks via
+    * top-k, not a global sort. The sequence-mining companion to
+    * [[eventTransitions]]: bigrams there, whole walks here. */
+  def sessionPaths(events: DataFrame, k: Int = 20): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("__evs"))
+      .select(concat_ws(">",
+        transform(col("__evs"), e => e.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(k)
+
   def cohortRetention(events: DataFrame,
                       cohortEvent: String = "purchase",
                       horizonDays: Int = 14): DataFrame = {

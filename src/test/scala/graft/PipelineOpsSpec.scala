@@ -246,6 +246,28 @@ class PipelineOpsSpec extends SparkSpec {
       ("error", "signup") -> ((1L, 1.0))))
   }
 
+  test("sessionPaths walks sessions in event order; boundary semantics pinned") {
+    import spark.implicits._
+    // session_window treats an event at EXACTLY last+gap as still inside
+    // the session (the interval is closed at its end); only a strictly
+    // larger gap splits. The fixture's microsecond-random timestamps make
+    // the exact boundary measure-zero, which is why the oracle's >=
+    // convention (q80's) agrees on real data — this test pins the engine
+    // semantics so that reasoning stays explicit.
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:04:00", "click"),
+      (3L, 1L, "2024-01-01 00:09:00.000000", "purchase"), // exactly +5:00 -> merges
+      (4L, 2L, "2024-01-01 10:00:00", "view"),
+      (5L, 2L, "2024-01-01 10:05:00.000001", "click")) // beyond the gap -> splits
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    val out = graft.ops.Events.sessionPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("view>click>purchase", 1L), ("view", 1L), ("click", 1L)))
+  }
+
   test("lastTouchAttribution picks the latest prior touch inside the window") {
     import spark.implicits._
     // u1: click at t0, purchase at t0+1h (attributed to the click),
