@@ -1003,7 +1003,11 @@ object SparkEntry {
       Relational.incrementalJoinRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
     // Session path analysis: top event-type walks per 5-min-gap session.
     "q143_session_paths" -> ((s, d) =>
-      graft.ops.Events.sessionPaths(Tables.events(s, d))))
+      graft.ops.Events.sessionPaths(Tables.events(s, d))),
+    // Streaming SCD2 maintenance: scd2Apply per micro-batch under
+    // foreachBatch; settled history == the full rebuild (q128's oracle).
+    "q144_stream_scd2" -> ((s, d) =>
+      graft.streaming.EventStreams.scd2MaintainStream(s, d)))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2506,7 +2510,9 @@ object SparkEntry {
         |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
         |  FROM sessions GROUP BY user_id, sid)
         |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
-        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // Incremental streamed maintenance == the full rebuild.
+    "q144_stream_scd2" -> Scd2Sql)
 
   /** SCD2 full-rebuild SQL — q128's oracle AND q140's (the incremental
     * apply is checked against the very same rebuild). */

@@ -275,6 +275,56 @@ object EventStreams {
     spark.read.parquet(out).orderBy("user_id", "session_start")
   }
 
+  /** Streaming SCD2 maintenance — [[graft.ops.Relational.scd2Apply]] run
+    * per micro-batch under `foreachBatch`: the orders fixture replayed as
+    * a file stream, each batch folded into the persisted history at delta
+    * cost, and the settled history equal to the FULL rebuild
+    * ([[graft.ops.Relational.scd2Build]] over everything — q128's oracle)
+    * whenever arrival respects the append-only-per-key contract (time-
+    * carved micro-batches; the [[watermarkDedupStream]] arrival shape).
+    * This is the production shape for a streamed dimension: version
+    * history maintained incrementally, never rebuilt.
+    *
+    * The history lives in alternating parquet generations (read gen N,
+    * write gen N+1) because a Spark job cannot overwrite its own input;
+    * the swap is a driver-side pointer flip per batch. */
+  def scd2MaintainStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ss = streamSession(spark)
+    val onDisk = ss.read.option("pathGlobFilter", "orders*.parquet")
+      .parquet(sfDir).schema
+    val reader = ss.readStream
+      .schema(onDisk)
+      .option("pathGlobFilter", "orders*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(sfDir)
+    val root = graft.WorkDirs.fresh("stream_scd2_hist")
+    val chk = graft.WorkDirs.fresh("stream_scd2_chk")
+    // Driver-side generation pointer — foreachBatch bodies run serially.
+    val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val q = stream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val g = gen.get()
+        val hist =
+          if (g < 0) graft.ops.Relational.scd2Build(batch.filter(lit(false)))
+          else s.read.parquet(s"$root/g$g")
+        graft.ops.Relational.scd2Apply(hist, batch.toDF())
+          .write.mode("overwrite").parquet(s"$root/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(chk))
+      catch { case _: java.io.IOException => () }
+    }
+    spark.read.parquet(s"$root/g${gen.get()}")
+      .orderBy("o_custkey", "version_n")
+  }
+
   /** Per-user running totals as a Spark 4 `StatefulProcessor` — the
     * `transformWithState` replacement for [[userTotalsStateful]]'s
     * `flatMapGroupsWithState`: named typed state registered against the

@@ -402,4 +402,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(unbounded == batch)
   }
+
+  test("streaming SCD2 maintenance settles to the full rebuild, multi-batch") {
+    val orders = Tables.orders(spark, sf)
+    val full = graft.ops.Relational.scd2Build(orders).collect().map(_.toSeq).toSeq
+
+    val single = EventStreams.scd2MaintainStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == full)
+
+    // Time-carved slices (the append-only-per-key arrival contract):
+    // ntile over (o_orderdate, o_orderkey) keeps same-date rows ordered by
+    // orderkey across the boundary, which is exactly the order the full
+    // rebuild's tiebreak uses — history folds must continue versions, close
+    // open intervals, and pass untouched keys through, batch after batch.
+    val dir = tempDir("graft_scd2_multi")
+    val sliced = orders.withColumn("__slice",
+      org.apache.spark.sql.functions.ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+    (1 to 3).foreach { i =>
+      val slice = sliced.filter(col("__slice") === i).drop("__slice")
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/orders_$i.parquet"))
+    }
+    val multi = EventStreams.scd2MaintainStream(spark, dir,
+      maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
+    assert(multi == full)
+  }
 }
