@@ -287,7 +287,12 @@ object EventStreams {
     *
     * The history lives in alternating parquet generations (read gen N,
     * write gen N+1) because a Spark job cannot overwrite its own input;
-    * the swap is a driver-side pointer flip per batch. */
+    * the swap is a driver-side pointer flip per batch. The COMPUTE per
+    * batch is delta-sized (scd2Apply's contract); the WRITE here is the
+    * full history per generation — at production scale the history table
+    * would be key-partitioned so a batch rewrites only the partitions its
+    * keys touch (the q64 partition-pruning layout), which this in-process
+    * demo keeps single-directory for settle simplicity. */
   def scd2MaintainStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ss = streamSession(spark)

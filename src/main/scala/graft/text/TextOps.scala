@@ -483,28 +483,41 @@ object TextOps {
     * boilerplate/templated text that pairwise near-dup scoring (q28/q30)
     * misses when no single partner document is similar overall.
     *
-    * Same shape as [[bigramQuality]]: map-side shingling, one shuffle
-    * keyed by span for the count window, one per-doc re-aggregation.
-    * Deterministic: counts are integers; the fraction is a small-integer
-    * ratio rounded to fixed precision. */
+    * Duplication-aware (the [[exactSubstrScrub]] collapse — round 6; the
+    * naive form was the heaviest non-ML wall at sf10): the report is a
+    * pure function of document CONTENT plus corpus-wide span counts, so
+    * exact duplicates collapse to one representative before shingling and
+    * the count for span s is Σ occurrences(rep) × copies(rep) — the same
+    * integer the all-docs count window would produce. The per-span count
+    * is a partial-aggregated groupBy (map-side combine BEFORE the
+    * shuffle, which the count-window formulation could never do) joined
+    * back to the d×-smaller rep span frame; members fan back out at the
+    * end. Deterministic: counts are integers; the fraction is a
+    * small-integer ratio rounded to fixed precision. */
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"span length must be >= 2, got $n")
-    val sh = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val members = docs.select(md5(col("text")).as("gid"), col("doc_id"))
+    val groups = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val repSpans = docs
+      .select(md5(col("text")).as("gid"), col("text"))
+      .dropDuplicates("gid")
+      .join(groups, Seq("gid"))
+      .select(col("gid"), col("gsz"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
+      .select(col("gid"), col("gsz"), explode(expr(
         s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
         .as("span"))
-    val bySpan = Window.partitionBy("span")
-    sh
-      .withColumn("c", count(lit(1)).over(bySpan))
-      .groupBy("doc_id")
+    val counts = repSpans.groupBy(col("span")).agg(sum(col("gsz")).as("__c"))
+    val perRep = repSpans
+      .join(counts, Seq("span"))
+      .groupBy(col("gid"))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup_spans"))
-      .withColumn("dup_fraction",
-        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+        sum(when(col("__c") > 1, 1).otherwise(0)).as("n_dup_spans"))
+    members.join(perRep, Seq("gid"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_fraction"))
       .orderBy("doc_id")
   }
 
