@@ -283,6 +283,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"q137: offsets join not broadcast:\n$p")
   }
 
+  test("q98 rank trio: two-level sliced rank, no status-only window on the data") {
+    // o_orderstatus has 3 values — a window partitioned by it alone
+    // serializes the frame through 3 tasks. The data-branch window must
+    // be (__slice, status)-keyed; offsets come back broadcast.
+    val naiveWindow = """\], \[o_orderstatus#\d+\], \[o_totalprice#\d+""".r
+    val p = plan("q98_rank_distributions")
+    assert(p.contains("__slice"), s"q98: slice key missing:\n$p")
+    assert(naiveWindow.findFirstIn(p).isEmpty,
+      s"q98: status-only window over the data survives:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q98: offsets join not broadcast:\n$p")
+  }
+
   test("q139 weighted median: sliced prefix sum with broadcast offsets") {
     // The naive formulation — one window per returnflag ordered by
     // quantity — caps parallelism at #groups; the two-level plan keys the
