@@ -111,16 +111,58 @@ object TextOps {
       .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
       .orderBy("lang")
 
-  /** Per-document token stats: counts, distinct counts, longest token. */
+  /** Run a content-pure per-document transform once per DISTINCT content
+    * key and fan its rows back to every member doc_id — the generic form
+    * of the duplication collapse the pair-emitting operators
+    * ([[graft.dedup.Dedup.ngramJaccardPairs]], [[exactSubstrScrub]],
+    * [[duplicatedSpans]]) already use. Real corpora carry 30-50% exact
+    * duplication (replicated boilerplate, mirrored pages); a per-document
+    * map cost (tokenize, shingle, score) paid once per distinct text
+    * instead of once per copy cuts the heavy stage by the duplication
+    * factor, while the fan-out join ships only (gid, doc_id) pairs and
+    * the rep-sized result.
+    *
+    * Contract: `f` must read ONLY columns covered by `keyCols` (plus
+    * doc_id, which it must propagate to its output) — anything else would
+    * make the collapsed answer depend on which copy became the
+    * representative. Representatives are deterministic (min doc_id per
+    * key), so reruns and plan retries agree. */
+  def perDistinctContent(docs: DataFrame, keyCols: Seq[String])(
+      f: DataFrame => DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "perDistinctContent needs at least one key column")
+    // NUL separator: a plain-space concat would alias ("a b","c") with
+    // ("a","b c") across a multi-column key.
+    val gid = md5(concat_ws("\u0000", keyCols.map(col): _*))
+    val withGid = docs.withColumn("__gid", gid)
+    val members = withGid.select(col("__gid"), col("doc_id").as("__member_id"))
+    val repIds = withGid.groupBy(col("__gid")).agg(min(col("doc_id")).as("doc_id"))
+    val reps = withGid.join(repIds, Seq("__gid", "doc_id"))
+    val repMap = reps.select(col("__gid"), col("doc_id").as("__rep_id"))
+    val out = f(reps.drop("__gid"))
+    require(out.columns.contains("doc_id"),
+      "perDistinctContent: f's output must carry doc_id")
+    val outCols = out.columns.toSeq
+    out.join(repMap, out("doc_id") === repMap("__rep_id"))
+      .join(members, Seq("__gid"))
+      .select(outCols.map {
+        case "doc_id" => col("__member_id").as("doc_id")
+        case c => col(c)
+      }: _*)
+  }
+
+  /** Per-document token stats: counts, distinct counts, longest token.
+    * Content-collapsed ([[perDistinctContent]]): tokenization runs once
+    * per distinct text. */
   def tokenStats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    documents.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      array_max(transform(toks, t => length(t))).as("max_token_len"),
-      length(col("text")).as("text_len"))
-      .orderBy("doc_id")
+    perDistinctContent(documents, Seq("text")) { reps =>
+      reps.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        array_max(transform(toks, t => length(t))).as("max_token_len"),
+        length(col("text")).as("text_len"))
+    }.orderBy("doc_id")
   }
 
   /** Per-source heavy hitters: the `k` most frequent tokens of every
@@ -185,14 +227,17 @@ object TextOps {
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stops = array(StopWords.map(lit): _*)
-    documents.select(
-      col("doc_id"),
-      col("lang"),
-      size(toks).as("n_words"),
-      size(filter(toks, t => array_contains(stops, t))).as("n_stopwords"))
-      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_words"))
-      .withColumn("length_ok", col("n_words") >= 10 && col("n_words") <= 10000)
-      .orderBy("doc_id")
+    // Key includes lang — the output carries it, so two same-text docs
+    // tagged differently must not share a representative.
+    perDistinctContent(documents, Seq("text", "lang")) { reps =>
+      reps.select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).as("n_words"),
+        size(filter(toks, t => array_contains(stops, t))).as("n_stopwords"))
+        .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_words"))
+        .withColumn("length_ok", col("n_words") >= 10 && col("n_words") <= 10000)
+    }.orderBy("doc_id")
   }
 
   /** Longest run of equal consecutive elements in a string array, as a
@@ -229,23 +274,24 @@ object TextOps {
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
-    graft.ops.Partitioning.spread(documents)
-      .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), toks, grams.as("__grams"))
-      .select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
-          .as("dup_token_frac"),
-        maxRun(toks).as("max_token_run"),
-        maxRun(array_sort(col("__grams"))).as("top_ngram_count"),
-        size(col("__grams")).as("__n_grams"))
-      .withColumn("top_ngram_frac",
-        round(when(col("__n_grams") > 0,
-          col("top_ngram_count").cast("double") / col("__n_grams"))
-          .otherwise(lit(0.0)), 6))
-      .drop("__n_grams")
-      .orderBy("doc_id")
+    perDistinctContent(documents, Seq("text")) { docs =>
+      graft.ops.Partitioning.spread(docs)
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), toks, grams.as("__grams"))
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
+            .as("dup_token_frac"),
+          maxRun(toks).as("max_token_run"),
+          maxRun(array_sort(col("__grams"))).as("top_ngram_count"),
+          size(col("__grams")).as("__n_grams"))
+        .withColumn("top_ngram_frac",
+          round(when(col("__n_grams") > 0,
+            col("top_ngram_count").cast("double") / col("__n_grams"))
+            .otherwise(lit(0.0)), 6))
+        .drop("__n_grams")
+    }.orderBy("doc_id")
   }
 
   /** Content fingerprints: full SHA-256 plus a prefix SHA-256 (first 64
@@ -456,23 +502,36 @@ object TextOps {
     * a broadcast of the (bounded) heavy-hitter subset, or let AQE skew
     * handling split the partition. */
   def bigramQuality(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bi = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // Duplication-aware (the q91 shape — content-pure signal over
+    // corpus-wide counts): bigrams explode once per DISTINCT text,
+    // corpus frequency = per-rep occurrences × copies (the same integers
+    // the all-docs count window produced), the per-bigram count is a
+    // partial-aggregated groupBy instead of a window over every row, and
+    // members fan back out at the end.
+    val members = docs.select(md5(col("text")).as("gid"), col("doc_id"))
+    val groups = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+    val repBi = docs
+      .select(md5(col("text")).as("gid"), col("text"))
+      .dropDuplicates("gid")
+      .join(groups, Seq("gid"))
+      .select(col("gid"), col("gsz"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
+      .select(col("gid"), col("gsz"),
         explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
           .as("bigram"))
-    val byBigram = Window.partitionBy("bigram")
-    bi
-      .withColumn("freq_class",
-        (length(bin(count(lit(1)).over(byBigram))) - 1).cast("int"))
-      .groupBy("doc_id")
+    val counts = repBi.groupBy(col("bigram")).agg(sum(col("gsz")).as("__c"))
+    val perRep = repBi
+      .join(counts, Seq("bigram"))
+      .withColumn("freq_class", (length(bin(col("__c"))) - 1).cast("int"))
+      .groupBy(col("gid"))
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(col("freq_class")).as("sum_freq_class"),
         min(col("freq_class")).as("min_freq_class"))
+    members.join(perRep, Seq("gid"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq_class"),
+        col("min_freq_class"))
       .orderBy("doc_id")
   }
 

@@ -102,13 +102,16 @@ class PlanSpec extends SparkSpec {
         "HashAggregate"))
   }
 
-  test("q68 repetition signals are map-only: no explode, no join, no agg shuffle") {
-    // The top-gram count must come from the sorted-array max-run, never the
-    // explode + groupBy(doc, gram) formulation this operator exists to avoid.
+  test("q68 repetition signals: content-collapsed, per-doc math stays explode-free") {
+    // Two contracts. (1) The top-gram count must come from the
+    // sorted-array max-run — never the explode + groupBy(doc, gram)
+    // formulation this operator exists to avoid: no Generate anywhere.
+    // (2) The round-6 content collapse (perDistinctContent) legitimately
+    // adds the gid aggregate + member fan-out joins; what must NOT appear
+    // is a cartesian or a per-gram shuffle.
     assertPlan("q68_repetition",
-      mustNot = Seq("Generate", "SortMergeJoin", "BroadcastHashJoin",
-        "CartesianProduct", "HashAggregate"),
-      mustContain = Nil)
+      mustNot = Seq("Generate", "CartesianProduct"),
+      mustContain = Seq("HashAggregate"))
   }
 
   test("q53 bm25 ranks via TakeOrderedAndProject with broadcast statistics") {
