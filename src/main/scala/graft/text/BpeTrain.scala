@@ -194,26 +194,31 @@ object BpeTrain {
     val ranked = merges.orderBy("rank")
       .select("left", "right", "merged").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    val words = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-    val vocabEncoded = ranked.zipWithIndex.foldLeft(
-      words.select("w").distinct()
-        .withColumn("symbols",
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))) {
-      case (df, ((l, r, m), i)) =>
-        val next = df.withColumn("symbols",
-          expr(s"""aggregate(symbols, CAST(array() AS array<string>), (acc, x) ->
-            CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)}
-                 THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(m)}))
-                 ELSE concat(acc, array(x)) END)"""))
-        if ((i + 1) % checkpointEveryMerges == 0) next.localCheckpoint(true) else next
-    }.select(col("w"), size(col("symbols")).as("n_word_tokens"))
-    words.join(vocabEncoded, "w")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_words"),
-        sum(col("n_word_tokens")).as("n_bpe_tokens"))
-      .orderBy("doc_id")
+    // Content-collapsed (round 6): the corpus explode + vocab join run
+    // once per DISTINCT text — copies contribute nothing to the distinct
+    // word set and their counts are byte-identical to their rep's. The
+    // merge-fold over the word vocabulary was already distinct-word.
+    TextOps.perDistinctContent(docs, Seq(textCol)) { reps =>
+      val words = reps
+        .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+      val vocabEncoded = ranked.zipWithIndex.foldLeft(
+        words.select("w").distinct()
+          .withColumn("symbols",
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))) {
+        case (df, ((l, r, m), i)) =>
+          val next = df.withColumn("symbols",
+            expr(s"""aggregate(symbols, CAST(array() AS array<string>), (acc, x) ->
+              CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)}
+                   THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(m)}))
+                   ELSE concat(acc, array(x)) END)"""))
+          if ((i + 1) % checkpointEveryMerges == 0) next.localCheckpoint(true) else next
+      }.select(col("w"), size(col("symbols")).as("n_word_tokens"))
+      words.join(vocabEncoded, "w")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_word_tokens")).as("n_bpe_tokens"))
+    }.orderBy("doc_id")
   }
 }
