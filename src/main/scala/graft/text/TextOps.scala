@@ -332,15 +332,18 @@ object TextOps {
           j => array_min(slice(col("__h"), j, lit(window)))))).as("fingerprint"))
   }
 
-  /** Per-document winnowing summary (deterministic: one row per doc). */
+  /** Per-document winnowing summary (deterministic: one row per doc).
+    * Content-collapsed ([[perDistinctContent]]): the gram hashing and
+    * windowed mins — the dominant map cost — run once per distinct text. */
   def winnowingStats(documents: DataFrame, k: Int = 8, window: Int = 4): DataFrame =
-    winnowingFingerprints(documents, k, window)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_fingerprints"),
-        min(col("fingerprint")).as("min_fingerprint"),
-        max(col("fingerprint")).as("max_fingerprint"))
-      .orderBy("doc_id")
+    perDistinctContent(documents, Seq("text")) { reps =>
+      winnowingFingerprints(reps, k, window)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_fingerprints"),
+          min(col("fingerprint")).as("min_fingerprint"),
+          max(col("fingerprint")).as("max_fingerprint"))
+    }.orderBy("doc_id")
 
   /** Fingerprint-overlap near-dup candidates: documents sharing ≥
     * `minShared` winnowing fingerprints. Blocking is the fingerprint
