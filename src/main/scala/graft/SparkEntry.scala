@@ -1007,7 +1007,12 @@ object SparkEntry {
     // Streaming SCD2 maintenance: scd2Apply per micro-batch under
     // foreachBatch; settled history == the full rebuild (q128's oracle).
     "q144_stream_scd2" -> ((s, d) =>
-      graft.streaming.EventStreams.scd2MaintainStream(s, d)))
+      graft.streaming.EventStreams.scd2MaintainStream(s, d)),
+    // Streaming SCD2 maintenance + as-of fact enrichment in one
+    // foreachBatch pipeline; settled == batch scd2PointInTime (q141's
+    // ASOF-join oracle).
+    "q145_stream_scd2_enrich" -> ((s, d) =>
+      graft.streaming.EventStreams.scd2EnrichStream(s, d)))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2462,27 +2467,7 @@ object SparkEntry {
     // Same change detection + same-instant dedup (max_by over the
     // (date, orderkey) order), then DuckDB's native ASOF LEFT JOIN —
     // inclusive >= on both sides, matching the union+running-last plan.
-    "q141_scd2_lookup" ->
-      """WITH ch AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
-        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM orders),
-        |f AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
-        |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
-        |dedup AS (
-        |  SELECT o_custkey AS user_id, o_orderdate AS effective_from,
-        |    max_by(o_orderpriority, o_orderkey) AS o_orderpriority
-        |  FROM f GROUP BY 1, 2),
-        |facts AS (SELECT event_id, user_id,
-        |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER)
-        |      AS TIMESTAMP) AS fact_ts
-        |  FROM events)
-        |SELECT f.event_id, f.user_id, f.fact_ts,
-        |  d.o_orderpriority AS priority_at_fact
-        |FROM facts f ASOF LEFT JOIN dedup d
-        |  ON f.user_id = d.user_id AND f.fact_ts >= d.effective_from
-        |ORDER BY f.event_id""".stripMargin,
+    "q141_scd2_lookup" -> Scd2LookupSql,
     // The plain join IS the oracle for the delta-join partition.
     "q142_incremental_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
@@ -2512,10 +2497,37 @@ object SparkEntry {
         |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // Incremental streamed maintenance == the full rebuild.
-    "q144_stream_scd2" -> Scd2Sql)
+    "q144_stream_scd2" -> Scd2Sql,
+    // The composed maintain+enrich stream must settle to the BATCH
+    // point-in-time lookup — one oracle, two execution shapes.
+    "q145_stream_scd2_enrich" -> Scd2LookupSql)
 
   /** SCD2 full-rebuild SQL — q128's oracle AND q140's (the incremental
     * apply is checked against the very same rebuild). */
+  /** SCD2 point-in-time lookup SQL — q141's oracle AND q145's (the
+    * settled maintain+enrich stream must equal the batch lookup). */
+  val Scd2LookupSql: String =
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |f AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+      |dedup AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS effective_from,
+      |    max_by(o_orderpriority, o_orderkey) AS o_orderpriority
+      |  FROM f GROUP BY 1, 2),
+      |facts AS (SELECT event_id, user_id,
+      |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER)
+      |      AS TIMESTAMP) AS fact_ts
+      |  FROM events)
+      |SELECT f.event_id, f.user_id, f.fact_ts,
+      |  d.o_orderpriority AS priority_at_fact
+      |FROM facts f ASOF LEFT JOIN dedup d
+      |  ON f.user_id = d.user_id AND f.fact_ts >= d.effective_from
+      |ORDER BY f.event_id""".stripMargin
+
   val Scd2Sql: String =
     """WITH ch AS (
       |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,

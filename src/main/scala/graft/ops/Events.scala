@@ -246,16 +246,34 @@ object Events {
   }
 
   /** Session path analysis — the top event-type sequences users walk
-    * within a session (5-minute inactivity gap, the [[userSessions]]
-    * convention): `session_window` groups server-side, the per-session
-    * event list is collected and sorted by the (ts, event_id) total order
-    * INSIDE the aggregate (bounded by session length — activity rate ×
-    * gap horizon, never stream length), and the path histogram ranks via
-    * top-k, not a global sort. The sequence-mining companion to
-    * [[eventTransitions]]: bigrams there, whole walks here. */
-  def sessionPaths(events: DataFrame, k: Int = 20): DataFrame =
+    * within a session (5-minute inactivity gap): an explicit lag-based
+    * sessionizer under the (ts, event_id) total order, splitting on
+    * `gap >= 5 minutes` — the SAME convention the q80 oracle states and
+    * DuckDB's gaps-and-islands formulation computes, made explicit here
+    * rather than inherited from `session_window` (whose interval is
+    * CLOSED at its end, so an event at exactly last+gap would merge —
+    * a boundary-tie divergence that second-quantized production logs
+    * would actually hit). The per-session event list is collected and
+    * sorted inside the aggregate (bounded by session length — activity
+    * rate × gap horizon, never stream length), and the path histogram
+    * ranks via top-k, not a global sort. The sequence-mining companion
+    * to [[eventTransitions]]: bigrams there, whole walks here.
+    *
+    * Scale shape: one shuffle by user shared by both windows (same
+    * partitioning + ordering → one sort), then a hash aggregate keyed by
+    * (user, session) and the tiny path histogram. */
+  def sessionPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
-      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 5 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new_session"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__sid"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("__evs"))
       .select(concat_ws(">",
@@ -264,6 +282,7 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(desc("n_sessions"), col("path"))
       .limit(k)
+  }
 
   def cohortRetention(events: DataFrame,
                       cohortEvent: String = "purchase",

@@ -628,11 +628,35 @@ object Relational {
       .select(col("o_custkey"), col("version_n").as("__open_v"),
         col("o_orderpriority").as("__open_attr"),
         col("effective_from").as("__open_from"))
+    // Append-only contract ENFORCED, not just documented: a batch row
+    // dated before its key's open interval would sort ahead of the seed
+    // row in the change-detection window and silently produce a history
+    // that differs from the full rebuild — a wrong answer, not an error.
+    // The guard rides the batch rows' o_orderpriority (always computed by
+    // the change-detection window, so it cannot be pruned away) and fails
+    // the job loudly at execution time with the key and both dates — no
+    // extra driver-side job; the open-interval join is delta-sized.
+    val guarded = batch
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(open.select(col("o_custkey"), col("__open_from")),
+        Seq("o_custkey"), "left")
+      .withColumn("o_orderpriority",
+        when(col("__open_from").isNotNull &&
+            col("o_orderdate") < col("__open_from"),
+          raise_error(concat(
+            lit("scd2Apply: append-only contract violated for key "),
+            col("o_custkey").cast("string"),
+            lit(": batch row dated "), col("o_orderdate").cast("string"),
+            lit(" precedes the open interval's effective_from "),
+            col("__open_from").cast("string"))).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .drop("__open_from")
     // Seed each key's change detection with its open interval (sorted
     // first by construction: append-only puts every batch row at-or-after
     // the open row's effective_from; the -1 orderkey breaks exact ties in
     // the seed's favor).
-    val seeded = batch
+    val seeded = guarded
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_orderpriority"), lit(false).as("__seed"))
       .unionByName(open.select(col("o_custkey"),

@@ -318,6 +318,14 @@ object EventStreams {
         graft.ops.Relational.scd2Apply(hist, batch.toDF())
           .write.mode("overwrite").parquet(s"$root/g${g + 1}")
         gen.incrementAndGet()
+        // Generation g is dead once g+1 is durable — delete it so the
+        // alternating layout holds exactly two generations at peak, not
+        // one per micro-batch (a week of 5-minute batches would otherwise
+        // keep ~2000 full history copies).
+        if (g >= 0)
+          try org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/g$g"))
+          catch { case _: java.io.IOException => () }
         ()
       }
       .start()
@@ -326,8 +334,114 @@ object EventStreams {
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(chk))
       catch { case _: java.io.IOException => () }
     }
-    spark.read.parquet(s"$root/g${gen.get()}")
-      .orderBy("o_custkey", "version_n")
+    // Zero micro-batches (e.g. the glob matched no files) means no
+    // generation was ever written; read of g-1 would fail with an opaque
+    // path error, so return the well-typed empty history instead.
+    if (gen.get() < 0)
+      graft.ops.Relational.scd2Build(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), onDisk))
+    else
+      spark.read.parquet(s"$root/g${gen.get()}")
+        .orderBy("o_custkey", "version_n")
+  }
+
+  /** Streaming SCD2 maintenance COMPOSED with as-of fact enrichment — the
+    * closing edge of the SCD2 family graph: each micro-batch of dimension
+    * changes both folds into the persisted history ([[scd2MaintainStream]]'s
+    * delta-cost `scd2Apply`) and re-enriches, in the SAME `foreachBatch`,
+    * exactly the facts whose keys the batch touched — the production shape
+    * where a streamed dimension update pipeline keeps a point-in-time
+    * feature view current without ever rebuilding it. Settled (last
+    * emission per fact, left-joined onto the full fact table so
+    * never-touched users carry NULLs) the result equals the BATCH
+    * [[graft.ops.Relational.scd2PointInTime]] — q141's DuckDB ASOF-join
+    * oracle checks it end-to-end.
+    *
+    * Why last-emission-wins is exact: a key's change set only grows when a
+    * batch touches that key, so the last batch touching user u enriches
+    * u's facts against u's FINAL history; the append-only contract
+    * (enforced inside scd2Apply) guarantees no later batch rewrites an
+    * interval it didn't emit. Per-batch work is delta-sized on the
+    * dimension side (scd2Apply) and touched-keys-sized on the fact side
+    * (a semi-join routes only affected facts into the as-of window);
+    * emissions are facts-of-touched-keys, so total emission volume tracks
+    * key churn, not batches × facts. */
+  def scd2EnrichStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ss = streamSession(spark)
+    val onDisk = ss.read.option("pathGlobFilter", "orders*.parquet")
+      .parquet(sfDir).schema
+    val reader = ss.readStream
+      .schema(onDisk)
+      .option("pathGlobFilter", "orders*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(sfDir)
+    val root = graft.WorkDirs.fresh("stream_scd2e_hist")
+    val emitRoot = graft.WorkDirs.fresh("stream_scd2e_emit")
+    val chk = graft.WorkDirs.fresh("stream_scd2e_chk")
+    val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // The q141 fact framing: events re-dated onto the dimension's history
+    // span by exact integer arithmetic (see Relational.scd2PointInTime).
+    def factsOf(s: SparkSession): org.apache.spark.sql.DataFrame =
+      graft.Tables.events(s, sfDir).select(col("event_id"), col("user_id"),
+        date_add(lit("1995-01-01").cast("date"),
+          (col("event_id") % 2400).cast("int"))
+          .cast("timestamp").as("fact_ts"))
+    val q = stream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val g = gen.get()
+        val hist =
+          if (g < 0) graft.ops.Relational.scd2Build(batch.filter(lit(false)))
+          else s.read.parquet(s"$root/g$g")
+        val next = graft.ops.Relational.scd2Apply(hist, batch.toDF())
+        next.write.mode("overwrite").parquet(s"$root/g${g + 1}")
+        gen.incrementAndGet()
+        if (g >= 0)
+          try org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/g$g"))
+          catch { case _: java.io.IOException => () }
+        // Enrich ONLY the touched keys' facts against the key's
+        // now-current history. History interval rows ARE change rows
+        // (effective_from = change instant); same-instant ties collapse
+        // to the winning version before the as-of, like scd2PointInTime.
+        val keys = batch.select(col("o_custkey").as("user_id")).distinct()
+        val changes = s.read.parquet(s"$root/g${g + 1}")
+          .join(keys, col("o_custkey") === keys("user_id"), "left_semi")
+          .groupBy(col("o_custkey").as("user_id"), col("effective_from"))
+          .agg(expr("max_by(o_orderpriority, version_n)").as("o_orderpriority"))
+        val touchedFacts = factsOf(s).join(keys, Seq("user_id"), "left_semi")
+        graft.ops.AsOfJoin.asOf(touchedFacts, changes, Seq("user_id"),
+          "fact_ts", "effective_from", Seq("o_orderpriority"))
+          .select(col("event_id"), col("user_id"), col("fact_ts"),
+            col("o_orderpriority").as("priority_at_fact"),
+            lit(g + 1).as("__gen"))
+          .write.mode("append").parquet(emitRoot)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(chk))
+      catch { case _: java.io.IOException => () }
+    }
+    val facts = factsOf(spark)
+    val settled =
+      if (gen.get() < 0) facts.filter(lit(false))
+        .select(col("event_id"), lit(null).cast("string").as("priority_at_fact"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id")).orderBy(col("__gen").desc)
+        spark.read.parquet(emitRoot)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("event_id"), col("priority_at_fact"))
+      }
+    facts.join(settled, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("fact_ts"),
+        col("priority_at_fact"))
+      .orderBy("event_id")
   }
 
   /** Per-user running totals as a Spark 4 `StatefulProcessor` — the
@@ -624,7 +738,7 @@ object EventStreams {
           var counts = prev.counts
           var k = 0
           while (k + 1 < buf.length && buf(k + 1)._1 < frontier) {
-            val key = buf(k)._3 + " " + buf(k + 1)._3
+            val key = buf(k)._3 + "\u0000" + buf(k + 1)._3
             counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
             k += 1
           }
@@ -634,12 +748,12 @@ object EventStreams {
           var snap = counts
           kept.sliding(2).foreach {
             case List(a, b) =>
-              val key = a._3 + " " + b._3
+              val key = a._3 + "\u0000" + b._3
               snap = snap.updated(key, snap.getOrElse(key, 0L) + 1L)
             case _ => ()
           }
           snap.iterator.map { case (key, c) =>
-            val Array(from, to) = key.split(" ", 2)
+            val Array(from, to) = key.split("\u0000", 2)
             TransitionEmit(uid, n, from, to, c)
           }
       }

@@ -126,13 +126,39 @@ object TextOps {
     * doc_id, which it must propagate to its output) — anything else would
     * make the collapsed answer depend on which copy became the
     * representative. Representatives are deterministic (min doc_id per
-    * key), so reruns and plan retries agree. */
-  def perDistinctContent(docs: DataFrame, keyCols: Seq[String])(
+    * key), so reruns and plan retries agree.
+    *
+    * The collapse pays a fixed tax — a distinct aggregate plus two
+    * fan-out joins — that only the duplicated fraction repays; on a
+    * ~unique corpus it is pure overhead (measured ~2-3× on the 0.2%-dup
+    * sf0.1 fixture). So the routing is data-driven: one cheap probe
+    * aggregate (count + approx_count_distinct over the content key — a
+    * map-side HLL sketch, no expand, no shuffle beyond one sketch per
+    * partition) measures the duplication rate, and corpora below
+    * `minDupFraction` run `f` directly. The probe reads only `keyCols`,
+    * so its scan is column-pruned; its cost is one pass over the key
+    * bytes, repaid whenever either branch is the right one. HLL's ±2.3%
+    * default error only matters within a band around the threshold where
+    * the two branches' costs cross anyway — both routes are correct,
+    * the probe only picks the cheaper plan. */
+  def perDistinctContent(docs: DataFrame, keyCols: Seq[String],
+      minDupFraction: Double = 0.10)(
       f: DataFrame => DataFrame): DataFrame = {
     require(keyCols.nonEmpty, "perDistinctContent needs at least one key column")
-    // NUL separator: a plain-space concat would alias ("a b","c") with
-    // ("a","b c") across a multi-column key.
-    val gid = md5(concat_ws("\u0000", keyCols.map(col): _*))
+    // JSON-encoded struct key: field names + quoting make the encoding
+    // injective -- NULL, empty string, and separator-shifted values all
+    // hash differently (a separator concat would silently alias NULL text
+    // with empty text, and (NULL,"x") with ("x",NULL), because concat_ws
+    // skips NULLs -- aliased docs would inherit another content's
+    // results). ignoreNullFields=false keeps an explicit null token.
+    val gid = md5(to_json(struct(keyCols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
+    val probe = docs
+      .agg(count(lit(1)).as("__n"), approx_count_distinct(gid).as("__d"))
+      .first()
+    val (nRows, nDistinct) = (probe.getLong(0), probe.getLong(1))
+    if (nRows == 0 || nDistinct.toDouble / nRows >= 1.0 - minDupFraction)
+      return f(docs)
     val withGid = docs.withColumn("__gid", gid)
     val members = withGid.select(col("__gid"), col("doc_id").as("__member_id"))
     val repIds = withGid.groupBy(col("__gid")).agg(min(col("doc_id")).as("doc_id"))

@@ -146,9 +146,18 @@ class BpeTrainSpec extends SparkSpec {
           .groupMapReduce(_._1)(_._2)(_ + _)
       }
     }
-    val got = BpeTrain.learnMerges(docs, numMerges = 60).collect()
+    // incrementalMinVocab = 0 FORCES the delta path — the fixture vocab
+    // is tiny, so the default threshold would route to the full-recount
+    // path and this oracle would never exercise the bookkeeping.
+    val got = BpeTrain.learnMerges(docs, numMerges = 60,
+      incrementalMinVocab = 0L).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(got.toSeq == expect.result())
+    // Both routes agree end-to-end (the threshold only picks a plan).
+    val viaRecount = BpeTrain.learnMerges(docs, numMerges = 60,
+      incrementalMinVocab = Long.MaxValue).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(viaRecount.toSeq == expect.result())
   }
 
   test("corpus-scale run: deterministic and ranked by frequency") {

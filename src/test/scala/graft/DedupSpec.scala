@@ -277,13 +277,24 @@ class DedupSpec extends SparkSpec {
     // "red wing" shares no block with the rings despite distance 2.
     val part = Seq(
       (1L, "red ring"), (2L, "red ring"), (3L, "rad ring"),
-      (4L, "blue bolt"), (5L, "red wing"))
+      (4L, "blue bolt"), (5L, "red wing"),
+      (6L, "ride ring")) // distance 2 from both rings, same block
       .toDF("p_partkey", "p_name")
     val out = Dedup.fuzzyNameMatch(part).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
-    assert(out.toSeq == Seq(("rad ring", "red ring", 1, 1L, 2L, 2L)))
-    // Distance cut: threshold 0 keeps nothing.
-    assert(Dedup.fuzzyNameMatch(part, maxDist = 1).count() == 1)
+    assert(out.toSeq == Seq(
+      ("rad ring", "red ring", 1, 1L, 2L, 2L),
+      ("rad ring", "ride ring", 2, 1L, 1L, 1L),
+      ("red ring", "ride ring", 2, 2L, 1L, 2L)))
+    // Distance cut genuinely bites: maxDist=1 drops the distance-2
+    // "ride ring" pairs that maxDist=3 keeps.
+    val tight = Dedup.fuzzyNameMatch(part, maxDist = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tight == Set(("rad ring", "red ring")))
+    // maxDist=0 is rejected: a zero threshold is exact dedup's job.
+    assertThrows[IllegalArgumentException] {
+      Dedup.fuzzyNameMatch(part, maxDist = 0)
+    }
   }
 }

@@ -354,6 +354,37 @@ class RelationalSpec extends SparkSpec {
     assert(emptyHist == full)
   }
 
+  test("scd2Apply rejects a batch that violates the append-only contract") {
+    import spark.implicits._
+    val hist = Relational.scd2Build(Seq(
+      (1L, 10L, ts("1995-01-01"), "A"),
+      (1L, 11L, ts("1996-01-01"), "B"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"))
+    // A batch row dated BEFORE key 1's open interval (1996-01-01) sorts
+    // ahead of the seed row — without the guard this silently yields a
+    // history differing from the full rebuild; with it the job fails loud.
+    val bad = Seq((1L, 12L, ts("1995-06-01"), "C"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val e = intercept[Exception] {
+      Relational.scd2Apply(hist, bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("append-only contract violated")),
+      s"wrong failure: $e")
+    // At-or-after the open interval is fine — including the exact tie,
+    // which the seed's -1 orderkey resolves in the seed's favor.
+    val ok = Seq((1L, 12L, ts("1996-01-01"), "C"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val rows = Relational.scd2Apply(hist, ok).collect()
+    assert(rows.count(_.getBoolean(5)) == 1)
+    // A violating batch against a key with NO open interval (new key) is
+    // not a violation — nothing to sort ahead of.
+    val newKey = Seq((9L, 90L, ts("1990-01-01"), "Z"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    assert(Relational.scd2Apply(hist, newKey).collect().nonEmpty)
+  }
+
   test("scd2PointInTime attaches the version current at each fact's date") {
     import spark.implicits._
     // Customer 7's priority: P1 from 1995-03-01, P2 from 1998-01-01.

@@ -434,4 +434,46 @@ class StreamingSpec extends SparkSpec {
       maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
     assert(multi == full)
   }
+
+  test("streaming SCD2 enrichment settles to the batch point-in-time lookup") {
+    val orders = Tables.orders(spark, sf)
+    val events = Tables.events(spark, sf)
+    val batch = graft.ops.Relational.scd2PointInTime(events, orders)
+      .collect().map(_.toSeq).toSeq
+
+    // Single batch: the whole dimension arrives at once, every key is
+    // touched once, settled == batch trivially but exercises the wiring.
+    val single = EventStreams.scd2EnrichStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == batch)
+
+    // Multi-batch under the time-carved arrival contract: keys touched by
+    // several batches are re-enriched each time, and ONLY the last
+    // emission may count — facts near the end of a key's history would be
+    // wrongly-null/stale under any earlier batch's partial history, so
+    // this fails if last-emission-wins (or the touched-key routing) is
+    // broken.
+    val dir = tempDir("graft_scd2_enrich_multi")
+    val sliced = orders.withColumn("__slice",
+      org.apache.spark.sql.functions.ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+    (1 to 3).foreach { i =>
+      val slice = sliced.filter(col("__slice") === i).drop("__slice")
+      val sliceDir = s"$dir/slice_$i"
+      slice.coalesce(1).write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/orders_$i.parquet"))
+    }
+    // The fact table (events) rides along unstreamed — the enrich stream
+    // reads it statically from the same dir.
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val multi = EventStreams.scd2EnrichStream(spark, dir,
+      maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
+    assert(multi == batch)
+  }
 }

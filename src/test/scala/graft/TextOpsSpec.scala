@@ -407,4 +407,51 @@ class TextOpsSpec extends SparkSpec with BeforeAndAfterAll {
       (101L, 11L, 11L, ""),
       (201L, 11L, 11L, "")))
   }
+
+  test("perDistinctContent: collapse and bypass routes agree row-for-row") {
+    import spark.implicits._
+    // 60% duplication -> the default routing collapses; minDupFraction=1
+    // forces the bypass. A content-pure f must make them identical.
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "gamma"), (5L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    def f(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("n_toks"))
+    val collapsed = TextOps.perDistinctContent(docs, Seq("text"))(f)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bypassed = TextOps.perDistinctContent(docs, Seq("text"),
+      minDupFraction = 1.0)(f)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(collapsed == bypassed)
+    assert(collapsed.length == 5)
+  }
+
+  test("perDistinctContent: NULL, empty, and shifted keys never alias") {
+    import spark.implicits._
+    // Half the corpus is duplicated so the probe picks the COLLAPSE route
+    // — the branch where key aliasing would hand one doc another
+    // content's result. NULL text vs empty text, and (NULL,"x") vs
+    // ("x",NULL) across a two-column key, must stay separate groups.
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "x"),
+      (2L, "", "x"),
+      (3L, "x", null.asInstanceOf[String]),
+      (4L, "x", ""),
+      (5L, "dup", "dup"), (6L, "dup", "dup"), (7L, "dup", "dup"),
+      (8L, "dup", "dup"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.perDistinctContent(docs, Seq("text", "source"),
+      minDupFraction = 0.10) { d =>
+      d.select(col("doc_id"),
+        coalesce(length(col("text")), lit(-1)).as("tl"),
+        coalesce(length(col("source")), lit(-1)).as("sl"))
+    }.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((-1, 1)))
+    assert(out(2L) == ((0, 1)))
+    assert(out(3L) == ((1, -1)))
+    assert(out(4L) == ((1, 0)))
+    assert(out(5L) == ((3, 3)))
+  }
 }
