@@ -99,11 +99,19 @@ object Dedup {
     * shingle the distinct texts, stop-shingle filter (df weighted by group
     * size), intersect-count equi-join, Jaccard threshold — everything up
     * to (but not including) the member-pair expansion. */
+  /** `pinShingles` materializes the df-filtered shingle stack once
+    * (localCheckpoint) for callers that execute the graph in MORE than one
+    * job — [[canonicalizeClusters]] collects the rep edges for clustering
+    * and then assembles the labeled output in a second job, and without
+    * the pin the whole shingle explode + document-frequency filter would
+    * run twice. Single-job callers ([[ngramJaccardPairs]]) leave it off:
+    * one execution needs no materialization. */
   private[graft] def ngramJaccardGraph(
       documents: DataFrame,
       n: Int,
       minJaccard: Double,
-      maxDocFreqFraction: Double): JaccardGraph = {
+      maxDocFreqFraction: Double,
+      pinShingles: Boolean = false): JaccardGraph = {
     val members = documents.select(md5(col("text")).as("gid"), col("doc_id"))
     val groups = members.groupBy(col("gid"))
       .agg(count(lit(1)).as("gsz"), min(col("doc_id")).as("rid"))
@@ -119,8 +127,9 @@ object Dedup {
     val rare = docShingles
       .groupBy(col("sh")).agg(sum(col("gsz")).as("df"))
       .filter(col("df") <= (total * maxDocFreqFraction).toLong)
-    val filtered = docShingles.select(col("sh"), col("gid"))
+    val filtered0 = docShingles.select(col("sh"), col("gid"))
       .join(rare.select("sh"), Seq("sh"))
+    val filtered = if (pinShingles) filtered0.localCheckpoint(true) else filtered0
     // Sizes over the filtered universe — numerator and denominator must
     // count the same shingle population or the ratio underestimates
     // (identical docs would score < 1 whenever any shingle is filtered).
@@ -555,7 +564,8 @@ object Dedup {
     * closure of the pair output both engines compute. */
   def canonicalizeClusters(documents: DataFrame, n: Int = 3,
       minJaccard: Double = 0.2): DataFrame = {
-    val g = ngramJaccardGraph(documents, n, minJaccard, maxDocFreqFraction = 0.5)
+    val g = ngramJaccardGraph(documents, n, minJaccard,
+      maxDocFreqFraction = 0.5, pinShingles = true)
     val repEdges = g.repPairs
       .join(g.groups.select(col("gid").as("gid_a"), col("rid").as("doc_a")), Seq("gid_a"))
       .join(g.groups.select(col("gid").as("gid_b"), col("rid").as("doc_b")), Seq("gid_b"))

@@ -12,6 +12,70 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** [[perDistinctContent]]'s duplication-probe memo: (canonicalized input
+    * plan hash, key columns) → (rows, approx distinct). Bounded (cleared
+    * past 256 entries); a stale or colliding entry can only flip a plan
+    * choice between two exact routes. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, List[String]), (Long, Long)]()
+
+  /** Is this corpus duplicated enough for a content collapse to pay for
+    * its fixed tax (distinct aggregate + fan-out joins)? One cheap probe
+    * aggregate — count + approx_count_distinct over an xxhash64 of the
+    * key columns (codegen'd, map-side HLL sketch, no shuffle beyond one
+    * sketch per partition) — memoized per (canonicalized plan, keys) so a
+    * pipeline running many operators over the same corpus pays the probe
+    * scan once per JVM. Any aliasing/staleness in the memo only nudges a
+    * plan choice between two exact routes, never a result. */
+  private[graft] def duplicationHeavy(docs: DataFrame, keyCols: Seq[String],
+      minDupFraction: Double = 0.10): Boolean = {
+    val cacheKey = (docs.queryExecution.analyzed.canonicalized.hashCode,
+      keyCols.toList)
+    val (nRows, nDistinct) = Option(probeCache.get(cacheKey)).getOrElse {
+      val probe = docs
+        .agg(count(lit(1)).as("__n"),
+          approx_count_distinct(xxhash64(keyCols.map(col): _*)).as("__d"))
+        .first()
+      val v = (probe.getLong(0), probe.getLong(1))
+      if (probeCache.size > 256) probeCache.clear()
+      probeCache.put(cacheKey, v)
+      v
+    }
+    nRows > 0 && nDistinct.toDouble / nRows < 1.0 - minDupFraction
+  }
+
+  /** (members, reps) of the gsz-WEIGHTED content collapse used by the
+    * corpus-count operators ([[bigramQuality]], [[duplicatedSpans]],
+    * [[exactSubstrScrub]]) — ops whose result depends on corpus-wide
+    * occurrence counts, so the collapse must carry each distinct text's
+    * copy count (`gsz`) into every aggregate rather than fan rows back
+    * unweighted (the [[perDistinctContent]] shape). Routed by the same
+    * duplication probe: on a ~unique corpus the collapse is an identity —
+    * gid = doc_id, gsz = 1, no distinct, no join — so low-duplication
+    * corpora skip the fixed tax while the weighted math stays literally
+    * the same expression on both routes.
+    *
+    * members: (gid, doc_id) — one row per input doc.
+    * reps: (gid, gsz, text) — one row per distinct text (or per doc on
+    * the bypass route), gsz = number of byte-identical copies. */
+  private def contentGroups(docs: DataFrame): (DataFrame, DataFrame) =
+    if (duplicationHeavy(docs, Seq("text"))) {
+      val members = docs.select(md5(col("text")).as("gid"), col("doc_id"))
+      val groups = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+      // One representative text per content group (all rows in a gid are
+      // byte-identical, so "first" is deterministic in value).
+      val reps = docs
+        .select(md5(col("text")).as("gid"), col("text"))
+        .dropDuplicates("gid")
+        .join(groups, Seq("gid"))
+        .select(col("gid"), col("gsz"), col("text"))
+      (members, reps)
+    } else {
+      (docs.select(col("doc_id").cast("string").as("gid"), col("doc_id")),
+        docs.select(col("doc_id").cast("string").as("gid"),
+          lit(1L).as("gsz"), col("text")))
+    }
+
   /** Whitespace tokenizer as a Column expression. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -153,11 +217,14 @@ object TextOps {
     // results). ignoreNullFields=false keeps an explicit null token.
     val gid = md5(to_json(struct(keyCols.map(col): _*),
       Map("ignoreNullFields" -> "false")))
-    val probe = docs
-      .agg(count(lit(1)).as("__n"), approx_count_distinct(gid).as("__d"))
-      .first()
-    val (nRows, nDistinct) = (probe.getLong(0), probe.getLong(1))
-    if (nRows == 0 || nDistinct.toDouble / nRows >= 1.0 - minDupFraction)
+    // The probe hashes with xxhash64 (codegen'd, no JSON round-trip) —
+    // aliasing on exotic null layouts only nudges a plan choice, never a
+    // result — and is memoized per (canonicalized plan, keys): a pipeline
+    // running many operators over the same corpus pays the probe scan
+    // once per JVM, not once per operator. A stale hit after an external
+    // overwrite of the same path again only picks a plan; both routes are
+    // exact.
+    if (!duplicationHeavy(docs, keyCols, minDupFraction))
       return f(docs)
     val withGid = docs.withColumn("__gid", gid)
     val members = withGid.select(col("__gid"), col("doc_id").as("__member_id"))
@@ -536,13 +603,10 @@ object TextOps {
     // corpus frequency = per-rep occurrences × copies (the same integers
     // the all-docs count window produced), the per-bigram count is a
     // partial-aggregated groupBy instead of a window over every row, and
-    // members fan back out at the end.
-    val members = docs.select(md5(col("text")).as("gid"), col("doc_id"))
-    val groups = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
-    val repBi = docs
-      .select(md5(col("text")).as("gid"), col("text"))
-      .dropDuplicates("gid")
-      .join(groups, Seq("gid"))
+    // members fan back out at the end. Probe-routed ([[contentGroups]]):
+    // ~unique corpora skip the collapse.
+    val (members, reps) = contentGroups(docs)
+    val repBi = reps
       .select(col("gid"), col("gsz"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("gid"), col("gsz"),
@@ -584,12 +648,8 @@ object TextOps {
     * small-integer ratio rounded to fixed precision. */
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
-    val members = docs.select(md5(col("text")).as("gid"), col("doc_id"))
-    val groups = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
-    val repSpans = docs
-      .select(md5(col("text")).as("gid"), col("text"))
-      .dropDuplicates("gid")
-      .join(groups, Seq("gid"))
+    val (members, reps) = contentGroups(docs)
+    val repSpans = reps
       .select(col("gid"), col("gsz"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("gid"), col("gsz"), explode(expr(
@@ -645,14 +705,8 @@ object TextOps {
     * in the adversarial sf1..sf10 sweeps) the heavy stages shrink d×. */
   def exactSubstrScrub(docs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
-    val members = docs.select(md5(col("text")).as("gid"), col("doc_id"))
-    val groups = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
-    // One representative text per content group (all rows in a gid are
-    // byte-identical, so "first" is deterministic in value).
-    val repToks = docs
-      .select(md5(col("text")).as("gid"), col("text"))
-      .dropDuplicates("gid")
-      .join(groups, Seq("gid"))
+    val (members, reps) = contentGroups(docs)
+    val repToks = reps
       .select(col("gid"), col("gsz"), tokens(col("text")).as("toks"))
     val spans = repToks
       .filter(size(col("toks")) >= n)
