@@ -8,6 +8,8 @@ shape, tagged '(collapsed oracle)'). Output JSON maps each query ->
 (no-oracle queries are listed from SparkEntry's dump dir without a check).
 
 Usage: build_sf3_artifact.py <out.json> <verifyOutDir> <log> [log...]
+Set SCALE_LABEL to override the artifact's "sf" description (defaults to
+the sf3 wording for backward compatibility).
 """
 import json
 import os
@@ -41,7 +43,8 @@ for name in sorted(dumped - oracle_names):
 
 missing = sorted(oracle_names - set(result))
 summary = {
-    "sf": "sf3 (30x sf0.1, adversarial byte-identical replication)",
+    "sf": os.environ.get(
+        "SCALE_LABEL", "sf3 (30x sf0.1, adversarial byte-identical replication)"),
     "n_queries_dumped": len(dumped),
     "n_oracle_checked": sum(1 for v in result.values() if v["oracle"] != "none"),
     "n_green": sum(1 for v in result.values() if v["match"]),
