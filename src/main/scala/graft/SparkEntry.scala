@@ -1012,7 +1012,29 @@ object SparkEntry {
     // foreachBatch pipeline; settled == batch scd2PointInTime (q141's
     // ASOF-join oracle).
     "q145_stream_scd2_enrich" -> ((s, d) =>
-      graft.streaming.EventStreams.scd2EnrichStream(s, d)))
+      graft.streaming.EventStreams.scd2EnrichStream(s, d)),
+    // Incremental near-dup admission: the odd-id ingest batch screened
+    // against the even-id corpus at 3-gram Jaccard >= 0.8 — the per-batch
+    // crawl-pipeline stage (cost incremental in the batch, the existing
+    // side is a persistable shingle index). Rejected docs only, with the
+    // best existing match (max rounded jaccard, tie -> min doc_id).
+    "q146_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+    // Curation filter funnel: per-stage first-fail rejection counts over
+    // the 5-rule quality pipeline, one corpus scan, integer-exact.
+    "q147_filter_funnel" -> ((s, d) =>
+      graft.ops.Curation.filterFunnel(Tables.documents(s, d))),
+    // Streaming near-dup admission: q146's screen run per micro-batch
+    // against the PERSISTED index (four narrow parquet relations built
+    // once from the even-id corpus); verdicts depend only on the index,
+    // so the settled emissions equal the one-shot screen under any
+    // carving — the oracle IS q146's SQL.
+    "q148_stream_neardup" -> ((s, d) =>
+      graft.streaming.DocumentStreams.nearDupAdmissionStream(s, d)))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2500,7 +2522,34 @@ object SparkEntry {
     "q144_stream_scd2" -> Scd2Sql,
     // The composed maintain+enrich stream must settle to the BATCH
     // point-in-time lookup — one oracle, two execution shapes.
-    "q145_stream_scd2_enrich" -> Scd2LookupSql)
+    "q145_stream_scd2_enrich" -> Scd2LookupSql,
+    "q146_incremental_neardup" -> IncrementalNearDupSql,
+    "q148_stream_neardup" -> IncrementalNearDupSql,
+    "q147_filter_funnel" ->
+      """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
+        |    len(text) AS nc FROM documents),
+        |g AS (SELECT lang, len(w) AS nw, nc, len(list_distinct(w)) AS nd,
+        |    list_max(list_transform(list_distinct(w),
+        |      t -> len(list_filter(w, x -> x = t)))) AS topc FROM f),
+        |s AS (SELECT CASE WHEN lang <> 'en' THEN 1 WHEN nw < 30 THEN 2
+        |    WHEN NOT (3*nw <= nc AND 2*nc <= 11*nw) THEN 3
+        |    WHEN 2*nd < nw THEN 4 WHEN 10*topc > nw THEN 5
+        |    ELSE 0 END AS ff FROM g),
+        |c AS (SELECT ff, COUNT(*) AS c FROM s GROUP BY ff),
+        |stages(stage_idx, stage) AS (VALUES (1, 'lang_en'), (2, 'min_words'),
+        |  (3, 'word_shape'), (4, 'dup_tokens'), (5, 'top_token')),
+        |tot AS (SELECT SUM(c) AS n_total FROM c),
+        |j AS (SELECT stage_idx, stage, COALESCE(c.c, 0) AS n_rejected
+        |      FROM stages LEFT JOIN c ON c.ff = stages.stage_idx),
+        |cum AS (SELECT stage_idx, stage, n_rejected,
+        |    COALESCE(SUM(n_rejected) OVER (ORDER BY stage_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM j)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        |  CAST(n_total - prior AS BIGINT) AS n_in,
+        |  CAST(n_rejected AS BIGINT) AS n_rejected,
+        |  CAST(n_total - prior - n_rejected AS BIGINT) AS n_out
+        |FROM cum CROSS JOIN tot ORDER BY stage_idx""".stripMargin)
 
   /** SCD2 full-rebuild SQL — q128's oracle AND q140's (the incremental
     * apply is checked against the very same rebuild). */
@@ -2527,6 +2576,42 @@ object SparkEntry {
       |FROM facts f ASOF LEFT JOIN dedup d
       |  ON f.user_id = d.user_id AND f.fact_ts >= d.effective_from
       |ORDER BY f.event_id""".stripMargin
+
+  /** Incremental near-dup screening SQL — q146's oracle AND q148's (the
+    * settled per-micro-batch stream screening must equal the one-shot
+    * batch screen; verdicts depend only on the persisted index). The
+    * naive form over all documents: the engine's content collapse and
+    * index split are plan optimizations, not semantics. */
+  val IncrementalNearDupSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+      |ex AS (SELECT doc_id AS ex_doc, sh FROM sh WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id AS inc_doc, sh FROM sh WHERE doc_id % 2 = 1),
+      |nex AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+      |stop AS (
+      |  SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh)
+      |  CROSS JOIN nex WHERE df > CAST(floor(n * 0.5) AS BIGINT)),
+      |fex AS (SELECT ex_doc, sh FROM ex WHERE sh NOT IN (SELECT sh FROM stop)),
+      |finc AS (SELECT inc_doc, sh FROM inc WHERE sh NOT IN (SELECT sh FROM stop)),
+      |sex AS (SELECT ex_doc, COUNT(*) AS n_ex FROM fex GROUP BY 1),
+      |sinc AS (SELECT inc_doc, COUNT(*) AS n_inc FROM finc GROUP BY 1),
+      |cand AS (
+      |  SELECT inc_doc, ex_doc, COUNT(*) AS n_common
+      |  FROM finc JOIN fex USING (sh) GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT inc_doc, ex_doc, n_common,
+      |    round(CAST(n_common AS DOUBLE) / (n_inc + n_ex - n_common), 6) AS jaccard
+      |  FROM cand JOIN sinc USING (inc_doc) JOIN sex USING (ex_doc)
+      |  WHERE CAST(n_common AS DOUBLE) / (n_inc + n_ex - n_common) >= 0.8)
+      |SELECT inc_doc AS doc_id, ex_doc AS matched_doc, n_common, jaccard
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY inc_doc ORDER BY jaccard DESC, ex_doc ASC) AS rn
+      |      FROM jac)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   val Scd2Sql: String =
     """WITH ch AS (

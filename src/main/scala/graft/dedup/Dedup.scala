@@ -610,6 +610,113 @@ object Dedup {
     * on the candidate pairs, and a #pairs-sized output. At 100 TB the
     * expensive O(|a|·|b|) distance runs once per distinct candidate pair,
     * not once per row pair. */
+  /** Incremental NEAR-dup admission screening — the Jaccard-level form of
+    * [[incrementalDedup]], and the stage a crawl pipeline runs on every
+    * ingest batch: which `incoming` documents are near-duplicates (word
+    * `n`-gram Jaccard ≥ `minJaccard`) of something ALREADY in the corpus?
+    * Emits one row per rejected incoming document with its best existing
+    * match (highest rounded Jaccard, ties to the smallest existing doc_id);
+    * admitted documents simply don't appear.
+    *
+    * Semantics mirror [[ngramJaccardPairs]]' df-filtered universe, with the
+    * document frequencies computed over the EXISTING corpus only (the
+    * incoming batch must not shift the boilerplate cut between runs):
+    * shingles with existing-df above `maxDocFreqFraction`·|existing| are
+    * stop-filtered from BOTH sides, and per-doc set sizes count the same
+    * filtered universe, so an exact re-ingested copy scores exactly 1.0.
+    *
+    * Scale shape — the cost is INCREMENTAL in the batch, never a corpus
+    * re-pair: both sides collapse to distinct texts first (md5 content
+    * groups, df weighted by existing group size, results fanned back to
+    * members), candidates come from a shingle equi-join of the batch's
+    * filtered shingles against the existing filtered shingle stack, and
+    * the argmax is a struct-max aggregation keyed by the batch's content
+    * group. At 100 TB the existing side's (shingle → gid) stack and df
+    * table are the natural persisted index: each ingest run shingles only
+    * its batch and equi-joins the index, exactly this plan's right half. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+      n: Int = 3, minJaccard: Double = 0.8,
+      maxDocFreqFraction: Double = 0.5): DataFrame =
+    screenNearDups(nearDupIndex(existing, n, maxDocFreqFraction), incoming,
+      n, minJaccard)
+
+  /** The persistable screening index [[incrementalNearDup]] builds over the
+    * existing corpus — exactly the four narrow relations an ingest pipeline
+    * writes once and equi-joins every batch against: the stop-shingle set,
+    * the filtered (shingle → content-group) stack, per-group filtered set
+    * sizes, and the group → min-doc-id map. No document text survives into
+    * the index. [[graft.streaming.DocumentStreams]] persists these to
+    * parquet and screens a document STREAM against them. */
+  private[graft] final case class NearDupIndex(stop: DataFrame,
+      shingles: DataFrame, sizes: DataFrame, groups: DataFrame)
+
+  private[graft] def nearDupIndex(existing: DataFrame, n: Int = 3,
+      maxDocFreqFraction: Double = 0.5): NearDupIndex = {
+    // Existing side: distinct texts, min-id representative, group size.
+    val exG = existing.groupBy(md5(col("text")).as("gid"))
+      .agg(count(lit(1)).as("gsz"), min(col("doc_id")).as("rid"))
+    val exReps = existing.select(col("doc_id"), col("text"))
+      .join(exG.select(col("rid").as("doc_id"), col("gid"), col("gsz")), Seq("doc_id"))
+    val exShingles = shingled(exReps, n, extra = Seq("gid", "gsz"))
+      .select(col("gid"), col("gsz"), explode(array_distinct(col("sh"))).as("sh"))
+    val nEx = existing.select(count(lit(1))).first().getLong(0)
+    // Stop-shingle cut by ORIGINAL existing-document frequency (sum of
+    // group sizes), the same boilerplate discipline as ngramJaccardGraph —
+    // expressed as the STOP set (df above the cut) and anti-joins, because
+    // a batch shingle the corpus has never seen has df 0: it must stay in
+    // the batch doc's denominator (novel content lowers similarity), which
+    // a semi-join against the seen-and-rare set would silently drop. The
+    // stop set is also the small side (boilerplate only) — broadcastable.
+    val stop = exShingles.groupBy(col("sh")).agg(sum(col("gsz")).as("df"))
+      .filter(col("df") > (nEx * maxDocFreqFraction).toLong)
+      .select("sh")
+    val fex = exShingles.select(col("sh"), col("gid"))
+      .join(stop, Seq("sh"), "left_anti")
+    // Sizes over the filtered universe (numerator and denominator must
+    // count the same shingle population — see ngramJaccardGraph).
+    val sex = fex.groupBy(col("gid")).agg(count(lit(1)).as("n_ex"))
+    NearDupIndex(stop, fex, sex, exG.select(col("gid"), col("rid")))
+  }
+
+  /** Screen one incoming batch against a [[NearDupIndex]] — the per-batch
+    * half of [[incrementalNearDup]]. Verdicts depend only on the index, so
+    * screening a corpus in any number of batches yields the same union of
+    * rejections as one call (the settle property the streaming form rides
+    * on). */
+  private[graft] def screenNearDups(index: NearDupIndex, incoming: DataFrame,
+      n: Int, minJaccard: Double): DataFrame = {
+    // Batch side: same content collapse; the stop cut is INHERITED from
+    // the existing corpus, not recomputed on the batch.
+    val incMembers = incoming.select(md5(col("text")).as("igid"), col("doc_id"))
+    val incG = incMembers.groupBy(col("igid")).agg(min(col("doc_id")).as("irid"))
+    val incReps = incoming.select(col("doc_id"), col("text"))
+      .join(incG.select(col("irid").as("doc_id"), col("igid")), Seq("doc_id"))
+    val finc = shingled(incReps, n, extra = Seq("igid"))
+      .select(col("igid"), explode(array_distinct(col("sh"))).as("sh"))
+      .join(index.stop, Seq("sh"), "left_anti")
+    val sinc = finc.groupBy(col("igid")).agg(count(lit(1)).as("n_inc"))
+    val cand = finc.join(index.shingles, Seq("sh"))
+      .groupBy(col("igid"), col("gid")).agg(count(lit(1)).as("n_common"))
+    val jac = cand.join(sinc, Seq("igid")).join(index.sizes, Seq("gid"))
+      .join(index.groups, Seq("gid"))
+      .withColumn("__j", col("n_common").cast("double") /
+        (col("n_inc") + col("n_ex") - col("n_common")))
+      .filter(col("__j") >= minJaccard)
+      .withColumn("jaccard", round(col("__j"), 6))
+    // Best match per incoming content group: max ROUNDED jaccard (the
+    // reported value — so the argmax is float-portable), tie to the
+    // smallest existing doc_id. rid is unique per content group, so the
+    // struct max is total and n_common rides along deterministically.
+    val best = jac.groupBy(col("igid"))
+      .agg(max(struct(col("jaccard"), (-col("rid")).as("__nr"),
+        col("n_common"))).as("__b"))
+      .select(col("igid"), col("__b.jaccard").as("jaccard"),
+        (-col("__b.__nr")).as("matched_doc"), col("__b.n_common").as("n_common"))
+    incMembers.join(best, Seq("igid"))
+      .select(col("doc_id"), col("matched_doc"), col("n_common"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   def fuzzyNameMatch(part: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
     val names = part.groupBy(col("p_name").as("name"))

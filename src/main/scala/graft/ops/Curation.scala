@@ -223,4 +223,69 @@ object Curation {
           .as("quota_tokens"))
       .orderBy("source")
   }
+
+  /** Curation FILTER FUNNEL — the per-stage rejection report every
+    * quality-filter pipeline publishes (how many documents each rule
+    * removed, in rule order, and how many survive): stage 1 keeps English,
+    * 2 requires ≥ 30 words, 3 requires mean word length in a sane band,
+    * 4 caps duplicate-token mass at 50%, 5 caps any single token at 10%
+    * of the document. Each document is charged to its FIRST failing stage
+    * — the funnel convention — so the stage counts sum with the survivors
+    * to the corpus and `n_out(k) = n_in(k+1)` by construction.
+    *
+    * Every predicate is integer arithmetic (cross-multiplied ratios, e.g.
+    * mean-word-length ∈ [3, 5.5] as `3·nw ≤ nc ∧ 2·nc ≤ 11·nw`), so the
+    * report is bit-exact across engines with no float tolerance.
+    *
+    * Scale shape: ONE scan — the per-document signals and the first-fail
+    * classification are map-side codegen (the token array is bound once
+    * per row so the lambdas never re-split the text), the aggregation is a
+    * ≤ 6-group partial count, and the funnel assembly runs on a 5-row
+    * literal frame joined against those counts (the single-partition
+    * window is over 5 rows, not data). At 100 TB this is the cost of
+    * reading the corpus once — which is the floor for any funnel. */
+  def filterFunnel(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sig = Partitioning.spread(documents)
+      .select(col("lang"), length(col("text")).as("nc"),
+        split(col("text"), " ").as("w"))
+      .select(col("lang"), col("nc"), col("w"), array_distinct(col("w")).as("dw"))
+      .select(col("lang"), col("nc"), size(col("w")).as("nw"),
+        size(col("dw")).as("nd"),
+        array_max(transform(col("dw"),
+          t => size(filter(col("w"), x => x === t)))).as("topc"))
+    val firstFail = when(col("lang") =!= "en", 1)
+      .when(col("nw") < 30, 2)
+      .when(!(lit(3) * col("nw") <= col("nc") &&
+        lit(2) * col("nc") <= lit(11) * col("nw")), 3)
+      .when(lit(2) * col("nd") < col("nw"), 4)
+      .when(lit(10) * col("topc") > col("nw"), 5)
+      .otherwise(0)
+    val counts = sig.select(firstFail.as("ff")).groupBy(col("ff"))
+      .agg(count(lit(1)).as("c"))
+    // The 6-row literal frame (survivor slot 0 + the five stages) joined
+    // against the counts ONCE — deriving the corpus total from the same
+    // tiny frame, so the document scan appears exactly once in the plan
+    // (a separate counts.agg(...) total would re-run the scan subtree).
+    val stages = Seq((0, "__kept"), (1, "lang_en"), (2, "min_words"),
+      (3, "word_shape"), (4, "dup_tokens"), (5, "top_token"))
+      .toDF("stage_idx", "stage")
+    val whole = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prior = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages
+      .join(counts.withColumnRenamed("ff", "stage_idx"), Seq("stage_idx"), "left")
+      .withColumn("n", coalesce(col("c"), lit(0L)))
+      // Survivors (slot 0) count toward the corpus total but are not a
+      // rejection — exclude them from the prior-rejections running sum.
+      .withColumn("__rej", when(col("stage_idx") >= 1, col("n")).otherwise(lit(0L)))
+      .withColumn("n_in",
+        sum(col("n")).over(whole) - coalesce(sum(col("__rej")).over(prior), lit(0L)))
+      .filter(col("stage_idx") >= 1)
+      .select(col("stage_idx"), col("stage"), col("n_in"),
+        col("n").as("n_rejected"), (col("n_in") - col("n")).as("n_out"))
+      .orderBy("stage_idx")
+  }
 }

@@ -54,4 +54,72 @@ object DocumentStreams {
     try q.processAllAvailable() finally q.stop()
     EventStreams.settle(spark, name, ss.table(name).orderBy("content_hash"))
   }
+
+  /** Streaming NEAR-dup admission — the streaming face of
+    * [[graft.dedup.Dedup.incrementalNearDup]], and the production shape
+    * that function's doc promises: the existing corpus's screening index
+    * (stop shingles, filtered shingle→group stack, group sizes, group→
+    * min-id map — four NARROW relations, no document text) is built once
+    * and PERSISTED to parquet; each arriving micro-batch of candidate
+    * documents then shingles only itself and equi-joins the index
+    * ([[graft.dedup.Dedup.screenNearDups]]), appending its rejection
+    * verdicts. A verdict depends only on the fixed index, never on other
+    * batches, so the settled union of emissions equals the one-shot batch
+    * screening under ANY carving — q148's oracle IS q146's SQL.
+    *
+    * Here the fixed corpus is the even-id half of the documents fixture
+    * and the stream replays the odd-id half (the q146 framing). Per-batch
+    * state is the index on disk — bounded by corpus vocabulary, not by
+    * stream length; the emissions directory only grows with rejections. */
+  def nearDupAdmissionStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    import graft.dedup.Dedup
+    val ss = EventStreams.streamSession(spark)
+    val corpus = ss.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(sfDir).filter(pmod(col("doc_id"), lit(2)) === 0)
+    val ixRoot = graft.WorkDirs.fresh("neardup_index")
+    val ix = Dedup.nearDupIndex(corpus, n)
+    ix.stop.write.mode("overwrite").parquet(s"$ixRoot/stop")
+    ix.shingles.write.mode("overwrite").parquet(s"$ixRoot/shingles")
+    ix.sizes.write.mode("overwrite").parquet(s"$ixRoot/sizes")
+    ix.groups.write.mode("overwrite").parquet(s"$ixRoot/groups")
+    val emitRoot = graft.WorkDirs.fresh("neardup_emit")
+    // Seed the emissions dir with the TYPED empty screen (single empty
+    // part file, schema in the footer): a run whose batches all emit zero
+    // rejections — or that sees zero batches — still settles to a
+    // readable, correctly-typed empty result instead of a schema-
+    // inference error.
+    Dedup.screenNearDups(ix, corpus.filter(lit(false)), n, minJaccard)
+      .repartition(1).write.mode("overwrite").parquet(emitRoot)
+    val chk = graft.WorkDirs.fresh("neardup_chk")
+    val reader = ss.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    val stream = reader.parquet(sfDir)
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val loaded = Dedup.NearDupIndex(
+          s.read.parquet(s"$ixRoot/stop"),
+          s.read.parquet(s"$ixRoot/shingles"),
+          s.read.parquet(s"$ixRoot/sizes"),
+          s.read.parquet(s"$ixRoot/groups"))
+        Dedup.screenNearDups(loaded, batch.toDF(), n, minJaccard)
+          .write.mode("append").parquet(emitRoot)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(chk))
+      catch { case _: java.io.IOException => () }
+    }
+    spark.read.parquet(emitRoot)
+      .select("doc_id", "matched_doc", "n_common", "jaccard")
+      .orderBy("doc_id")
+  }
 }

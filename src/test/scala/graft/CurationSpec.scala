@@ -228,4 +228,37 @@ class CurationSpec extends SparkSpec {
     // raw token share's extremes.
     assert(out.forall(_.getDouble(4) > 0))
   }
+
+  /** One document per funnel stage plus one survivor — each row charged to
+    * its FIRST failing rule, n_out(k) == n_in(k+1) down the chain. */
+  private lazy val funnelDocs = Seq(
+    ("fr", "le renard brun rapide saute"),                        // stage 1
+    ("en", "too short to pass here"),                             // stage 2
+    ("en", (0 until 30).map(i => f"abcdef$i%02d").mkString(" ")), // stage 3 (mean wlen 8)
+    ("en", Seq.fill(30)("abcd").mkString(" ")),                   // stage 4 (all dups)
+    ("en", ((0 until 32).map(i => f"aa$i%02d") ++
+      Seq.fill(8)("aa00")).mkString(" ")),                        // stage 5 (top token 9/40)
+    ("en", (0 until 30).map(i => f"bb$i%02d").mkString(" "))      // kept
+  ).toDF("lang", "text")
+
+  test("filter funnel: first-fail charging and the n_in/n_out chain") {
+    val out = Curation.filterFunnel(funnelDocs).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (1, "lang_en", 6L, 1L, 5L),
+      (2, "min_words", 5L, 1L, 4L),
+      (3, "word_shape", 4L, 1L, 3L),
+      (4, "dup_tokens", 3L, 1L, 2L),
+      (5, "top_token", 2L, 1L, 1L)))
+  }
+
+  test("filter funnel: a stage that rejects nothing still reports its row") {
+    val out = Curation.filterFunnel(funnelDocs.filter(col("lang") === "en"))
+      .collect()
+    assert(out.length == 5)
+    val s1 = out.find(_.getInt(0) == 1).get
+    assert(s1.getLong(2) == 5L && s1.getLong(3) == 0L && s1.getLong(4) == 5L)
+    // The chain still telescopes: survivors = corpus - total rejections.
+    assert(out.last.getLong(4) == 5L - out.map(_.getLong(3)).sum)
+  }
 }

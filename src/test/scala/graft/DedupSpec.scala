@@ -52,6 +52,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalDedup(grown, incoming).count() == 0)
   }
 
+  test("incremental near-dup: exact copies score 1.0, batch dups fan out, " +
+      "tie-break to min existing id, fresh content admitted") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val near = "the quick brown fox jumps over the lazy cat and runs far away home"
+    val existing = Seq(
+      (0L, base), (2L, base), // exact-dup pair: one content group, rid = 0
+      (4L, "completely different text about spark query engines and columnar scans"),
+      (6L, "another unrelated document mentioning feature stores and lookups only"),
+      (8L, "filler prose covering benchmarks partitions shuffles and codegen today"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base), // exact re-ingest => jaccard exactly 1.0, matched to min id 0
+      (3L, near), // near-dup: 9 of 12 shingles shared => jaccard 0.6
+      (5L, near), // batch copy of 3 => identical verdict via the collapse fan-out
+      (7L, "totally fresh content nobody has ever written before in any corpus"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(existing, incoming, minJaccard = 0.5)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+      (1L, 0L, 12L, 1.0), (3L, 0L, 9L, 0.6), (5L, 0L, 9L, 0.6)))
+    // At the default 0.8 cut only the exact re-ingest is rejected.
+    val strict = Dedup.incrementalNearDup(existing, incoming).collect()
+    assert(strict.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("shingles produce n-grams; short docs collapse to whole text") {
     val sh = corpus.select(Dedup.shingles(col("text"), 3).as("sh")).head().getSeq[String](0)
     assert(sh.head == "the quick brown")

@@ -335,4 +335,25 @@ class PlanSpec extends SparkSpec {
     // aggregate keyed on the embedding column feeds the join.
     assert(p.toLowerCase.contains("collect_list"), s"no member collection:\n$p")
   }
+
+  test("q146 incremental near-dup: candidates via shingle equi-joins, never a cartesian") {
+    // The admission screen must stay a stack of hash/sort equi-joins
+    // (candidates keyed by shingle, sizes and groups by content id) — any
+    // nested-loop or cartesian would be the all-pairs shape the index
+    // exists to avoid.
+    assertPlan("q146_incremental_neardup",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q147 filter funnel: one corpus scan, map-side signals, tiny assembly") {
+    val p = plan("q147_filter_funnel")
+    // The document scan feeds a partial aggregate directly — no join or
+    // window touches corpus-sized data (the only window runs over the
+    // 5-row literal stage frame), and documents.parquet is read ONCE.
+    assert(!p.contains("CartesianProduct"), s"cartesian in funnel plan:\n$p")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"funnel reads the corpus $scans times:\n$p")
+    assert(p.contains("HashAggregate"), s"no partial aggregation:\n$p")
+  }
 }

@@ -476,4 +476,38 @@ class StreamingSpec extends SparkSpec {
       maxFilesPerTrigger = Some(1)).collect().map(_.toSeq).toSeq
     assert(multi == batch)
   }
+
+  test("streaming near-dup admission settles to the one-shot screen, " +
+      "single and multi-batch") {
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.dedup.Dedup.incrementalNearDup(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty) // the fixture must exercise rejection
+
+    val single = graft.streaming.DocumentStreams
+      .nearDupAdmissionStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(single == batch)
+
+    // Forced multi-batch: 3 files, one per trigger. Each odd doc is
+    // screened in whichever batch its file arrives; verdicts depend only
+    // on the persisted even-id index, so the union of emissions must be
+    // carving-independent.
+    val dir = tempDir("graft_neardup_multi")
+    (0 until 3).foreach { i =>
+      val sliceDir = s"$dir/slice_$i"
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/documents_$i.parquet"))
+    }
+    val multi = graft.streaming.DocumentStreams
+      .nearDupAdmissionStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    assert(multi == batch)
+  }
 }
