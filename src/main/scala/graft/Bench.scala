@@ -55,8 +55,12 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // Defensive isolation: no run inherits another's cached blocks
-      // (iterative ops cache intermediates; stale blocks skew timings).
+      // (iterative ops cache intermediates; stale blocks skew timings) —
+      // including persisted RDDs, which localCheckpoint pins OUTSIDE the
+      // catalog cache (the storage leak that OOM'd a 145-query dump JVM).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val stolen = (stealJiffies() - s0) / 100.0 // CPU-seconds stolen, all cores
       // Tainted when the hypervisor stole a meaningful FRACTION OF MACHINE
       // CAPACITY during the run (steal is cross-core CPU time: on a 32-core

@@ -30,6 +30,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Per-query isolation: drop cached tables AND persisted RDD blocks
+      // (localCheckpoint pins live outside the catalog cache). Without
+      // this the 140+ prior queries' checkpoint blocks accumulate in
+      // storage memory and the GBT training at the tail of a big-SF dump
+      // dies with UNABLE_TO_ACQUIRE_MEMORY.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
