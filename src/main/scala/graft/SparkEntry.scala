@@ -1034,7 +1034,14 @@ object SparkEntry {
     // so the settled emissions equal the one-shot screen under any
     // carving — the oracle IS q146's SQL.
     "q148_stream_neardup" -> ((s, d) =>
-      graft.streaming.DocumentStreams.nearDupAdmissionStream(s, d)))
+      graft.streaming.DocumentStreams.nearDupAdmissionStream(s, d)),
+    // PageRank over the symmetrized co-purchase graph — iterative link
+    // analysis as Pregel-by-joins (one equi-join + one groupBy shuffle
+    // per iteration, checkpointed constant-depth plans); neighbor sums
+    // fold in sorted source order so both engines produce bit-identical
+    // ranks. Oracle generated from the same constants (Graph.pageRankSql).
+    "q149_copurchase_pagerank" -> ((s, d) =>
+      graft.ops.Graph.coPurchasePageRank(Tables.lineitem(s, d))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2525,6 +2532,7 @@ object SparkEntry {
     "q145_stream_scd2_enrich" -> Scd2LookupSql,
     "q146_incremental_neardup" -> IncrementalNearDupSql,
     "q148_stream_neardup" -> IncrementalNearDupSql,
+    "q149_copurchase_pagerank" -> graft.ops.Graph.pageRankSql(),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),
