@@ -14,15 +14,16 @@ SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY=q109_gbt_train_score \
   > /tmp/campaign/sf10_q109.log 2>&1
 echo "q109 exit=$?"; grep -c "\[verify\].*failed" /tmp/campaign/sf10_q109.log
 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_ONLY=q146_incremental_neardup,q147_filter_funnel,q148_stream_neardup \
+  SPARK_GRAFT_ONLY=q146_incremental_neardup,q147_filter_funnel,q148_stream_neardup,q149_copurchase_pagerank \
   timeout 3600 sbt -batch "runMain graft.Verify /tmp/graft_sf10 /tmp/verify_sf10" \
   > /tmp/campaign/sf10_new.log 2>&1
 echo "new exit=$?"; grep -c "\[verify\].*failed" /tmp/campaign/sf10_new.log
 
 echo "=== supplement: oracles ($(date +%H:%M:%S))"
 timeout 7200 python3 tools/check_oracle.py /tmp/graft_sf10 /tmp/verify_sf10 \
-  "q147_filter_funnel" > /tmp/campaign/oracle_sf10_q147.log 2>&1
-echo "q147 exit=$?"; tail -2 /tmp/campaign/oracle_sf10_q147.log
+  "q147_filter_funnel,q149_copurchase_pagerank" \
+  > /tmp/campaign/oracle_sf10_q147.log 2>&1
+echo "q147/q149 exit=$?"; tail -3 /tmp/campaign/oracle_sf10_q147.log
 timeout 7200 python3 tools/check_q146_collapsed.py /tmp/graft_sf10 /tmp/verify_sf10 \
   > /tmp/campaign/oracle_sf10_q146.log 2>&1
 echo "q146/q148 exit=$?"; tail -3 /tmp/campaign/oracle_sf10_q146.log
