@@ -9,11 +9,11 @@ cd /root/repo
 mkdir -p /tmp/campaign
 
 echo "=== supplement: fresh-JVM dumps ($(date +%H:%M:%S))"
-SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY=q109_gbt_train_score \
+SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY=q109_gbt_train_score \
   timeout 3600 sbt -batch "runMain graft.Verify /tmp/graft_sf10 /tmp/verify_sf10" \
   > /tmp/campaign/sf10_q109.log 2>&1
 echo "q109 exit=$?"; grep -c "\[verify\].*failed" /tmp/campaign/sf10_q109.log
-SPARK_GRAFT_CPUS=32 \
+SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_ONLY=q146_incremental_neardup,q147_filter_funnel,q148_stream_neardup,q149_copurchase_pagerank \
   timeout 3600 sbt -batch "runMain graft.Verify /tmp/graft_sf10 /tmp/verify_sf10" \
   > /tmp/campaign/sf10_new.log 2>&1
