@@ -346,6 +346,15 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
+  test("q149 pagerank: every iteration joins hash-keyed, never a cartesian") {
+    // Pregel-by-joins: edges ⋈ ranks must stay an equi-join on src and
+    // the contribution sum a keyed aggregation — a nested-loop anywhere
+    // turns an iteration into an all-pairs pass.
+    assertPlan("q149_copurchase_pagerank",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
   test("q147 filter funnel: one corpus scan, map-side signals, tiny assembly") {
     val p = plan("q147_filter_funnel")
     // The document scan feeds a partial aggregate directly — no join or
