@@ -1041,7 +1041,13 @@ object SparkEntry {
     // fold in sorted source order so both engines produce bit-identical
     // ranks. Oracle generated from the same constants (Graph.pageRankSql).
     "q149_copurchase_pagerank" -> ((s, d) =>
-      graft.ops.Graph.coPurchasePageRank(Tables.lineitem(s, d))))
+      graft.ops.Graph.coPurchasePageRank(Tables.lineitem(s, d))),
+    // Connected components of the support-thresholded co-purchase graph —
+    // hash-to-min propagation with pointer jumping, constant plan depth
+    // (the q149 checkpoint discipline). Integer-exact labels; oracle is a
+    // recursive-CTE transitive closure generated from the same constants.
+    "q150_copurchase_components" -> ((s, d) =>
+      graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2533,6 +2539,7 @@ object SparkEntry {
     "q146_incremental_neardup" -> IncrementalNearDupSql,
     "q148_stream_neardup" -> IncrementalNearDupSql,
     "q149_copurchase_pagerank" -> graft.ops.Graph.pageRankSql(),
+    "q150_copurchase_components" -> graft.ops.Graph.coPurchaseComponentsSql(),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative link analysis over relational co-occurrence graphs — the
   * Pregel-by-joins family (reference scope: none; build-target extension).
@@ -13,19 +14,29 @@ import org.apache.spark.sql.functions._
   * ≥ 1) and the classic dangling-mass correction drops out.
   *
   * Scale shape: the edge list and per-node degrees are built once and
-  * pinned (`localCheckpoint`), then each iteration is exactly one hash
-  * equi-join (edges ⋈ ranks on src) and one groupBy(dst) shuffle — the
-  * standard distributed PageRank step. Checkpointing each iteration's
-  * ranks keeps the plan depth CONSTANT across iterations (no lineage
-  * blow-up), which is what lets the same loop run 30 iterations at
-  * 100 TB without re-planning cost growing per round.
+  * pinned DISK_ONLY (serialized blocks, never deserialized row objects
+  * competing with shuffle memory — the sf10 edge frame is ~240M rows,
+  * and holding it MEMORY_AND_DISK was the measured 5.8×-per-decade
+  * memory wall), then each iteration is one hash equi-join
+  * (edges ⋈ ranks on src) and two keyed aggregations — the standard
+  * distributed PageRank step. Rank lineage is truncated only every
+  * [[CheckpointEvery]] iterations (plan depth stays bounded without
+  * paying a materialization per round); between checkpoints the
+  * iterations fuse into one job whose shuffle stages each run once.
   *
-  * Cross-engine exactness: per-node contribution sums fold left-to-right
-  * over neighbors sorted by source id (`aggregate(array_sort(
-  * collect_list(...)))` ⇔ DuckDB `list_reduce(list(c ORDER BY src))`),
-  * and the damping update is the same literal IEEE expression on both
-  * sides — so ranks match bit-for-bit and the top-k cut (on the ROUNDED
-  * rank, ties to min part id) cannot straddle an epsilon.
+  * Cross-engine exactness: per-node contribution sums fold in a
+  * DETERMINISTIC two-level order — neighbors are bucketed into
+  * [[FoldSlices]] slices by `src % FoldSlices`, each slice folds
+  * left-to-right over neighbors sorted by source id, then slice sums
+  * fold left-to-right by slice id — and the oracle SQL performs the
+  * IDENTICAL two-level fold (`list_reduce(list(… ORDER BY …))` at both
+  * levels), so ranks match bit-for-bit and the top-k cut (on the
+  * ROUNDED rank, ties to min part id) cannot straddle an epsilon.
+  * The slicing also bounds aggregation buffers: a hot node's neighbor
+  * array never materializes whole — per-group arrays hold at most
+  * max(FoldSlices, degree/FoldSlices) entries, so a power-law hub is a
+  * set of medium groups instead of one straggler/OOM row (the
+  * [[Partitioning.slicedRunningMax]] discipline applied to folds).
   */
 object Graph {
 
@@ -36,12 +47,20 @@ object Graph {
   val PageRankIterations = 3
   val PageRankTopK = 20
 
-  /** Top-k parts by PageRank over the symmetrized co-purchase graph. */
-  def coPurchasePageRank(lineitem: DataFrame,
-      iterations: Int = PageRankIterations,
-      damping: Double = PageRankDamping,
-      k: Int = PageRankTopK): DataFrame = {
-    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+  /** Per-node fold slice count: contribution sums fold within
+    * `src % FoldSlices` buckets first, then across buckets. Mirrored
+    * literally in the oracle SQL — changing it changes BOTH sides. */
+  val FoldSlices = 64
+
+  /** Rank lineage is localCheckpoint'ed every this-many iterations: deep
+    * enough that a 3-iteration run never materializes intermediates, while
+    * a convergence run's plan depth stays bounded. */
+  val CheckpointEvery = 4
+
+  /** The pinned edge+degree frame and node count shared by both PageRank
+    * modes: one distinct-basket self-join, symmetrized, degree-annotated,
+    * persisted DISK_ONLY and materialized exactly once. */
+  private def edgeStack(lineitem: DataFrame): (DataFrame, Long) = {
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = baskets.as("a")
       .join(baskets.as("b"),
@@ -52,24 +71,63 @@ object Graph {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // Edge+degree stack reused every iteration: pin it once. The degree
-    // join rides inside the pin, so an iteration pays ONE join + ONE
-    // aggregation, nothing else.
-    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
-    val n = deg.count() // bounded driver scalar: one long, like ngramJaccardGraph's total
-    var ranks = deg.select(col("src").as("part"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("part", "src"), Seq("src"))
-        .select(col("dst"), col("src"), (col("rank") / col("outdeg")).as("c"))
-      ranks = contribs.groupBy(col("dst"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("__s"))
-        .select(col("dst").as("part"),
-          (lit(1.0 - damping) / lit(n.toDouble) +
-            lit(damping) * col("__s")).as("rank"))
-        .localCheckpoint(true) // constant plan depth across iterations
+    // Edge+degree stack reused every iteration: pin it once, DISK_ONLY —
+    // serialized blocks on disk, read back per iteration, never resident
+    // as deserialized rows (each executor re-reads its local blocks; rank
+    // state and shuffle buffers keep the heap).
+    val edgesDeg = edges.join(deg, Seq("src"))
+      .persist(StorageLevel.DISK_ONLY)
+    // Bounded driver scalar (one long) whose computation doubles as the
+    // action that materializes the pin.
+    val n = edgesDeg.select(countDistinct(col("src"))).first().getLong(0)
+    (edgesDeg, n)
+  }
+
+  /** One PageRank iteration: contributions via ONE hash equi-join, then
+    * the two-level sliced fold (see the object doc). Both aggregation
+    * levels are keyed — no global or per-node unbounded buffer. */
+  private def step(edgesDeg: DataFrame, ranks: DataFrame, n: Long,
+      damping: Double): DataFrame = {
+    val contribs = edgesDeg
+      .join(ranks.withColumnRenamed("part", "src"), Seq("src"))
+      .select(col("dst"), col("src"), (col("rank") / col("outdeg")).as("c"))
+    val sliceSums = contribs
+      .groupBy(col("dst"), pmod(col("src"), lit(FoldSlices.toLong)).as("__sl"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("src"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("__ss"))
+    sliceSums.groupBy(col("dst"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__sl"), col("__ss")))),
+        lit(0.0), (acc, x) => acc + x.getField("__ss")).as("__s"))
+      .select(col("dst").as("part"),
+        (lit(1.0 - damping) / lit(n.toDouble) +
+          lit(damping) * col("__s")).as("rank"))
+  }
+
+  private def initialRanks(edgesDeg: DataFrame, n: Long): DataFrame =
+    edgesDeg.select(col("src").as("part")).distinct()
+      .select(col("part"), lit(1.0 / n).as("rank"))
+
+  /** Top-k parts by PageRank over the symmetrized co-purchase graph. */
+  def coPurchasePageRank(lineitem: DataFrame,
+      iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    val (edgesDeg, n) = edgeStack(lineitem)
+    var ranks = initialRanks(edgesDeg, n)
+    var sinceCheckpoint = 0
+    for (i <- 1 to iterations) {
+      ranks = step(edgesDeg, ranks, n, damping)
+      sinceCheckpoint += 1
+      // Truncate lineage only at the cadence (and never after the final
+      // iteration — the caller's single job finishes the chain): bounded
+      // plan depth without a forced materialization per round.
+      if (sinceCheckpoint >= CheckpointEvery && i < iterations) {
+        ranks = ranks.localCheckpoint(true)
+        sinceCheckpoint = 0
+      }
     }
     ranks
       .select(col("part"), round(col("rank"), 6).as("rank"))
@@ -77,37 +135,202 @@ object Graph {
       .limit(k)
   }
 
+  /** PageRank run to CONVERGENCE: iterate until `max |Δrank| < eps` or
+    * `maxIterations`, whichever first — the shape a real centrality run
+    * uses (fixed-iteration is the demo/oracle shape). Per iteration this
+    * pays one eager checkpoint (the rank frame is read twice: once for
+    * the delta, once by the next step), still constant plan depth.
+    * Refuses to return unconverged ranks — partial centrality silently
+    * misranks, exactly like unconverged components would. */
+  def coPurchasePageRankConverged(lineitem: DataFrame,
+      eps: Double = 1e-6,
+      maxIterations: Int = 50,
+      damping: Double = PageRankDamping): DataFrame = {
+    require(eps > 0, s"need eps > 0, got $eps")
+    val (edgesDeg, n) = edgeStack(lineitem)
+    var ranks = initialRanks(edgesDeg, n).localCheckpoint(true)
+    var delta = Double.MaxValue
+    var iter = 0
+    while (delta >= eps && iter < maxIterations) {
+      val next = step(edgesDeg, ranks, n, damping).localCheckpoint(true)
+      // All nodes persist across iterations (symmetry ⇒ every node has an
+      // incoming edge), so the inner join is total.
+      delta = next
+        .join(ranks.withColumnRenamed("rank", "__prev"), Seq("part"))
+        .select(max(abs(col("rank") - col("__prev"))).as("d"))
+        .first().getDouble(0)
+      ranks = next
+      iter += 1
+    }
+    require(delta < eps,
+      s"pagerank: not converged after $maxIterations rounds (max delta $delta >= $eps) " +
+        "— raise maxIterations; unconverged ranks would silently misrank.")
+    ranks.orderBy(col("rank").desc, col("part"))
+  }
+
+  /** Connected components by iterative hash-to-min propagation with
+    * pointer jumping — the first-class face of the component pass inside
+    * [[graft.dedup.Dedup.clusterPairs]], for arbitrary (src, dst) edge
+    * frames. Returns (node, component) for every node incident to an
+    * edge; component = the smallest node id in the component.
+    *
+    * Scale shape: the symmetrized edge list is pinned once; each round is
+    * one equi-join + keyed min (adopt the smallest neighbor label) and one
+    * label-keyed self-join (pointer jumping — each label is replaced by
+    * its label's label, cutting round count from O(diameter) to
+    * O(log diameter)); every generation is localCheckpoint'ed so plan
+    * depth is constant ([[coPurchasePageRank]]'s discipline). REFUSES to
+    * return unconverged labels — a partial propagation is wrong clusters,
+    * not an approximation. */
+  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    val cols = edgesIn.columns
+    require(cols.length == 2, s"connectedComponents wants (src, dst), got ${cols.mkString(",")}")
+    val directed = edgesIn.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val edges = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("component", "__nbr"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("__nbr")).as("__nbr_min"))
+      val propagated = labels
+        .join(neighborMin, Seq("node"))
+        .select(col("node"),
+          least(col("component"), col("__nbr_min")).as("component"),
+          col("component").as("__old"))
+      // Pointer jumping: labels are node ids, so the label-as-node join
+      // always resolves; labels are monotone non-increasing.
+      val parents = propagated.select(
+        col("node").as("__p_id"), col("component").as("__p_label"))
+      val next = propagated
+        .join(parents, col("component") === col("__p_id"), "left")
+        .select(col("node"),
+          coalesce(col("__p_label"), col("component")).as("component"),
+          (coalesce(col("__p_label"), col("component")) < col("__old")).as("__changed"))
+        .localCheckpoint()
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — raise maxIter " +
+        "(partial labels would be WRONG components). The loop exits on the first " +
+        "no-change round, so a generous cap costs nothing.")
+    labels
+  }
+
+  /** Support threshold and convergence cap for q150 — like the PageRank
+    * constants, [[coPurchaseComponentsSql]] is generated from these. */
+  val ComponentsMinSupport = 2
+  val ComponentsMaxIter = 50
+
+  /** q150: connected components of the SUPPORT-THRESHOLDED co-purchase
+    * graph — parts are linked when they co-occur in at least `minSupport`
+    * distinct orders (the thresholding that turns the near-complete raw
+    * co-purchase graph into the sparse affinity graph a basket analysis
+    * actually clusters). Every part appearing in lineitem gets a row;
+    * parts with no qualifying edge are their own singleton component. */
+  def coPurchaseComponents(lineitem: DataFrame,
+      minSupport: Int = ComponentsMinSupport,
+      maxIter: Int = ComponentsMaxIter): DataFrame = {
+    require(minSupport >= 1, s"need minSupport >= 1, got $minSupport")
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
+      .select(col("src"), col("dst"))
+    val labels = connectedComponents(pairs, maxIter)
+      .withColumnRenamed("node", "part")
+    baskets.select(col("l_partkey").as("part")).distinct()
+      .join(labels, Seq("part"), "left")
+      .select(col("part"),
+        coalesce(col("component"), col("part")).as("component"))
+      .withColumn("is_representative", col("component") === col("part"))
+      .orderBy("part")
+  }
+
+  /** The q150 DuckDB oracle: the same thresholded edge set, components via
+    * a recursive-CTE transitive closure (q69's oracle pattern), LEFT JOIN
+    * back onto all parts. MATERIALIZED CTEs keep DuckDB from re-evaluating
+    * the basket self-join per closure step. */
+  def coPurchaseComponentsSql(minSupport: Int = ComponentsMinSupport): String =
+    s"""WITH RECURSIVE b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+       |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+       |    AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |undirected AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM p UNION SELECT dst, src FROM p),
+       |closure(u, v) AS (
+       |  SELECT u, v FROM undirected
+       |  UNION
+       |  SELECT c.u, d.v FROM closure c JOIN undirected d ON c.v = d.u),
+       |comp AS (SELECT u AS part, LEAST(u, MIN(v)) AS component
+       |         FROM closure GROUP BY u),
+       |nodes AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+       |SELECT n.part, coalesce(comp.component, n.part) AS component,
+       |  coalesce(comp.component, n.part) = n.part AS is_representative
+       |FROM nodes n LEFT JOIN comp USING (part)
+       |ORDER BY n.part""".stripMargin
+
   /** The q149 DuckDB oracle, unrolled to [[PageRankIterations]] stages
     * from the SAME constants the engine runs with. Every float step
     * mirrors the engine: CAST-to-DOUBLE literals (DuckDB decimals would
-    * otherwise change the arithmetic), neighbor folds via
-    * `list_reduce(list(c ORDER BY src))`, cut on the rounded rank. */
+    * otherwise change the arithmetic), the two-level sliced fold
+    * (per-slice `list_reduce(list(c ORDER BY src))` inside
+    * `src % FoldSlices` buckets, then `list_reduce(list(ss ORDER BY sl))`
+    * across buckets — the IDENTICAL reassociation the engine performs),
+    * and the cut on the rounded rank. The multiply-referenced CTEs are
+    * MATERIALIZED: the naive inlined form re-evaluates the basket
+    * self-join once per closure/iteration reference, which overflowed
+    * DuckDB's spill disk above sf1 (the round-7 unchecked-oracle gap). */
   def pageRankSql(iterations: Int = PageRankIterations,
       damping: Double = PageRankDamping,
       k: Int = PageRankTopK): String = {
     val d = s"CAST($damping AS DOUBLE)"
     val head =
-      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |p AS (
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS MATERIALIZED (
          |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
          |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
          |    AND a.l_partkey < b2.l_partkey
          |  GROUP BY 1, 2),
-         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
-         |dg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |dg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
          |nn AS (SELECT COUNT(*) AS n FROM dg),
          |r0 AS (SELECT dg.src AS part, CAST(1 AS DOUBLE) / nn.n AS rank
          |       FROM dg CROSS JOIN nn)""".stripMargin
     val iters = (1 to iterations).map { i =>
       s""",
          |c$i AS (
-         |  SELECT e.dst, e.src, r.rank / dg.outdeg AS c
+         |  SELECT e.dst, e.src, e.src % $FoldSlices AS sl,
+         |    r.rank / dg.outdeg AS c
          |  FROM e JOIN r${i - 1} r ON e.src = r.part JOIN dg ON e.src = dg.src),
+         |s$i AS (
+         |  SELECT dst, sl, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS ss
+         |  FROM c$i GROUP BY dst, sl),
          |r$i AS (
-         |  SELECT c$i.dst AS part,
+         |  SELECT s$i.dst AS part,
          |    (CAST(1 AS DOUBLE) - $d) / nn.n
-         |      + $d * list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS rank
-         |  FROM c$i CROSS JOIN nn GROUP BY c$i.dst, nn.n)""".stripMargin
+         |      + $d * list_reduce(list(ss ORDER BY sl), (a, b) -> a + b) AS rank
+         |  FROM s$i CROSS JOIN nn GROUP BY s$i.dst, nn.n)""".stripMargin
     }.mkString
     head + iters +
       s"""

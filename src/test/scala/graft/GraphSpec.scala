@@ -51,5 +51,91 @@ class GraphSpec extends SparkSpec {
     assert(sql.contains(s"LIMIT ${Graph.PageRankTopK}"))
     assert(sql.contains(s"r${Graph.PageRankIterations}"))
     assert(sql.contains(s"CAST(${Graph.PageRankDamping} AS DOUBLE)"))
+    // The two-level sliced fold must appear on the oracle side too — a
+    // single-level oracle fold would reassociate differently and break
+    // bit-exactness.
+    assert(sql.contains(s"% ${Graph.FoldSlices} AS sl"))
+    assert(sql.contains("ORDER BY sl"))
+    // Multiply-referenced CTEs are MATERIALIZED so DuckDB evaluates the
+    // basket self-join once, not once per iteration (the sf10 spill wall).
+    assert(sql.contains("e AS MATERIALIZED"))
+    assert(sql.contains("dg AS MATERIALIZED"))
+  }
+
+  test("pagerank: skewed hub (1e5-degree node) completes with bounded fold buffers") {
+    // Star graph: order i = {part 0, part i}. The hub's contribution sum
+    // would previously materialize one 100k-struct array in a single
+    // aggregation buffer; the sliced fold caps per-group arrays at
+    // max(FoldSlices, degree/FoldSlices).
+    val nLeaves = 100000L
+    val leaves = spark.range(1, nLeaves + 1)
+      .selectExpr("id AS l_orderkey", "id AS l_partkey")
+    val hub = spark.range(1, nLeaves + 1)
+      .selectExpr("id AS l_orderkey", "CAST(0 AS LONG) AS l_partkey")
+    val out = Graph.coPurchasePageRank(leaves.union(hub), iterations = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val n = (nLeaves + 1).toDouble
+    // r(hub) = 0.15/n + 0.85 * sum over leaves of (1/n)/1
+    val expectedHub = 0.15 / n + 0.85 * (nLeaves / n / 1.0)
+    assert(out.head._1 == 0L)
+    assert(math.abs(out.head._2 - expectedHub) < 1e-6)
+    // Leaves each get the hub's mass split 1e5 ways; the output is
+    // rounded to 6 decimals, so compare within the rounding granularity.
+    val expectedLeaf = 0.15 / n + 0.85 * (1.0 / n / nLeaves)
+    assert(math.abs(out(1)._2 - expectedLeaf) < 5.1e-7)
+  }
+
+  test("pagerank convergence mode matches a high-iteration fixed run") {
+    // Geometric contraction at rate ~damping: eps=1e-6 needs ~85 rounds,
+    // and both runs then sit within ~eps/(1-damping) of the fixpoint.
+    val fixed = Graph.coPurchasePageRank(lineitem, iterations = 100, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val conv = Graph.coPurchasePageRankConverged(lineitem, eps = 1e-6,
+      maxIterations = 120)
+      .limit(3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fixed.map(_._1).toSeq == conv.map(_._1).toSeq)
+    fixed.zip(conv).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-4, s"$a vs $b")
+    }
+  }
+
+  test("connected components: two components + pointer-jump convergence on a path") {
+    // Component {1,2,3,4} as a path (needs propagation rounds) and {10,11}.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges inside the cap (pointer jumping)") {
+    val n = 300
+    val edges = spark.range(1, n)
+      .selectExpr("id AS src", "id + 1 AS dst")
+    val got = Graph.connectedComponents(edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 1L))
+  }
+
+  test("co-purchase components: threshold keeps only repeated pairs") {
+    // Pair (10,20) co-occurs twice (orders 1, 2) -> edge; (20,30) once ->
+    // no edge. Part 30 is its own singleton; 40 appears with nothing.
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L),
+      (4L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.coPurchaseComponents(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (10L, 10L, true), (20L, 10L, false), (30L, 30L, true), (40L, 40L, true)))
+  }
+
+  test("components oracle SQL embeds the engine constants") {
+    val sql = Graph.coPurchaseComponentsSql()
+    assert(sql.contains(s">= ${Graph.ComponentsMinSupport}"))
+    assert(sql.contains("WITH RECURSIVE"))
+    assert(sql.contains("p AS MATERIALIZED"))
   }
 }

@@ -349,8 +349,20 @@ class PlanSpec extends SparkSpec {
   test("q149 pagerank: every iteration joins hash-keyed, never a cartesian") {
     // Pregel-by-joins: edges ⋈ ranks must stay an equi-join on src and
     // the contribution sum a keyed aggregation — a nested-loop anywhere
-    // turns an iteration into an all-pairs pass.
+    // turns an iteration into an all-pairs pass. Below CheckpointEvery
+    // iterations nothing is checkpointed, so the final plan carries EVERY
+    // iteration's joins and the assertion covers the whole chain.
     assertPlan("q149_copurchase_pagerank",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q150 components: label assembly joins hash-keyed, never a cartesian") {
+    // The propagation loop's generations are checkpointed away; the final
+    // plan still must assemble labels via equi-joins only (part-keyed),
+    // and the edge derivation inside the loop shares q149's basket
+    // self-equi-join shape.
+    assertPlan("q150_copurchase_components",
       mustContain = Seq.empty,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
