@@ -287,14 +287,57 @@ object Multimodal {
   }
 
   /** End-to-end: media table → features → per-mime stats (exercises the
-    * typed path back into relational aggregation). */
-  def mediaFeatureStats(spark: SparkSession, documents: DataFrame, dim: Int = 16): DataFrame = {
-    val feats = extractFeatures(spark, mediaFromDocuments(documents), dim).toDF()
-    feats.select(
-      col("media_id"),
-      col("n_bytes"),
-      round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
-      size(col("feature")).as("feature_dim"))
+    * typed path back into relational aggregation). Content-collapsed
+    * ([[graft.text.TextOps.perDistinctContent]], probe-routed): the
+    * payload here is a pure function of the document text, so on a
+    * duplicated corpus the decode — the entire cost — runs once per
+    * distinct text instead of once per copy; ~unique corpora bypass. */
+  def mediaFeatureStats(spark: SparkSession, documents: DataFrame, dim: Int = 16): DataFrame =
+    graft.text.TextOps.perDistinctContent(documents, Seq("text")) { reps =>
+      extractFeatures(spark, mediaFromDocuments(reps), dim).toDF()
+        .select(
+          col("media_id").as("doc_id"),
+          col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          size(col("feature")).as("feature_dim"))
+    }.select(
+      col("doc_id").as("media_id"),
+      col("n_bytes"), col("f0"), col("feature_dim"))
       .orderBy("media_id")
+
+  /** [[audioFeatures]] routed through a PAYLOAD-content collapse — the
+    * multimodal analog of [[graft.text.TextOps.perDistinctContent]]:
+    * featurization is a pure function of (payload bytes), so on a corpus
+    * where many clips carry byte-identical PCM the decode+DSP pass — the
+    * entire cost — runs once per distinct payload and the results fan
+    * back to members over (md5(payload), sample_rate) equi-joins. The
+    * same duplication probe routes ~unique corpora straight to the
+    * direct path, so the collapse tax is paid only where repaid.
+    * (The synthetic fixture repeats payloads with period 65536 in
+    * media_id, so replicated scale-up corpora collapse ~copies×; a real
+    * ingest's duplicated clips collapse the same way.) */
+  def audioFeaturesByContent(spark: SparkSession, audio: Dataset[AudioRow]): DataFrame = {
+    import spark.implicits._
+    val df = audio.toDF()
+    if (!graft.text.TextOps.duplicationHeavy(df, Seq("payload", "sample_rate")))
+      return audioFeatures(spark, audio).toDF()
+    val withG = df.withColumn("__gid", md5(col("payload")))
+    val members = withG.select(col("__gid"), col("sample_rate"),
+      col("media_id").as("__member_id"))
+    val repIds = withG.groupBy(col("__gid"), col("sample_rate"))
+      .agg(min(col("media_id")).as("media_id"))
+    val reps = withG.join(repIds, Seq("__gid", "sample_rate", "media_id"))
+    val repMap = reps.select(col("__gid"), col("sample_rate"),
+      col("media_id").as("__rep_id"))
+    val out = audioFeatures(spark,
+      reps.select(col("media_id"), col("payload"), col("sample_rate"),
+        col("n_bytes")).as[AudioRow]).toDF()
+    val outCols = out.columns.toSeq
+    out.join(repMap, out("media_id") === repMap("__rep_id"))
+      .join(members, Seq("__gid", "sample_rate"))
+      .select(outCols.map {
+        case "media_id" => col("__member_id").as("media_id")
+        case c => col(c)
+      }: _*)
   }
 }

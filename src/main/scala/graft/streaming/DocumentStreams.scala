@@ -93,6 +93,17 @@ object DocumentStreams {
     Dedup.screenNearDups(ix, corpus.filter(lit(false)), n, minJaccard)
       .repartition(1).write.mode("overwrite").parquet(emitRoot)
     val chk = graft.WorkDirs.fresh("neardup_chk")
+    // Load the four index relations ONCE, pinned (localCheckpoint): the
+    // index is immutable for the run, so every micro-batch closes over the
+    // same materialized blocks instead of re-reading + re-planning four
+    // parquet scans per trigger (~2 s of fixed per-run overhead at sf0.1).
+    // The parquet copies stay the durable production artifact; the pin is
+    // only this run's working set.
+    val loaded = Dedup.NearDupIndex(
+      ss.read.parquet(s"$ixRoot/stop").localCheckpoint(true),
+      ss.read.parquet(s"$ixRoot/shingles").localCheckpoint(true),
+      ss.read.parquet(s"$ixRoot/sizes").localCheckpoint(true),
+      ss.read.parquet(s"$ixRoot/groups").localCheckpoint(true))
     val reader = ss.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents*.parquet")
@@ -102,12 +113,6 @@ object DocumentStreams {
     val q = stream.writeStream
       .option("checkpointLocation", chk)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val loaded = Dedup.NearDupIndex(
-          s.read.parquet(s"$ixRoot/stop"),
-          s.read.parquet(s"$ixRoot/shingles"),
-          s.read.parquet(s"$ixRoot/sizes"),
-          s.read.parquet(s"$ixRoot/groups"))
         Dedup.screenNearDups(loaded, batch.toDF(), n, minJaccard)
           .write.mode("append").parquet(emitRoot)
         ()

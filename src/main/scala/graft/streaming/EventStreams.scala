@@ -285,14 +285,19 @@ object EventStreams {
     * This is the production shape for a streamed dimension: version
     * history maintained incrementally, never rebuilt.
     *
-    * The history lives in alternating parquet generations (read gen N,
-    * write gen N+1) because a Spark job cannot overwrite its own input;
-    * the swap is a driver-side pointer flip per batch. The COMPUTE per
-    * batch is delta-sized (scd2Apply's contract); the WRITE here is the
-    * full history per generation — at production scale the history table
-    * would be key-partitioned so a batch rewrites only the partitions its
-    * keys touch (the q64 partition-pruning layout), which this in-process
-    * demo keeps single-directory for settle simplicity. */
+    * The history lives in per-batch parquet generations (epoch b reads
+    * the latest generation below b, writes generation b) because a Spark
+    * job cannot overwrite its own input — and because `foreachBatch` is
+    * AT-LEAST-ONCE: keying the generation by batch id and deleting only
+    * two generations back means a replayed epoch re-reads its true
+    * pre-batch history and rewrites its own generation idempotently,
+    * instead of double-applying against a history that already contains
+    * it (which scd2Apply's append-only guard would correctly kill). The
+    * COMPUTE per batch is delta-sized (scd2Apply's contract); the WRITE
+    * here is the full history per generation — at production scale the
+    * history table would be key-partitioned so a batch rewrites only the
+    * partitions its keys touch (the q64 partition-pruning layout), which
+    * this in-process demo keeps single-directory for settle simplicity. */
   def scd2MaintainStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ss = streamSession(spark)
@@ -305,27 +310,29 @@ object EventStreams {
     val stream = reader.parquet(sfDir)
     val root = graft.WorkDirs.fresh("stream_scd2_hist")
     val chk = graft.WorkDirs.fresh("stream_scd2_chk")
-    // Driver-side generation pointer — foreachBatch bodies run serially.
-    val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // Generations are keyed by BATCH ID and the previous generation is
+    // kept until the one after lands: foreachBatch is at-least-once, and
+    // a replayed epoch (sink write durable, checkpoint commit lost) must
+    // re-read its true PRE-batch history and overwrite its OWN generation
+    // idempotently — with generation-per-batchId plus lazy deletion the
+    // replay is a byte-identical rewrite instead of a double-apply that
+    // scd2Apply's append-only guard would (correctly) kill.
+    val lastGen = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = stream.writeStream
       .option("checkpointLocation", chk)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val g = gen.get()
-        val hist =
-          if (g < 0) graft.ops.Relational.scd2Build(batch.filter(lit(false)))
-          else s.read.parquet(s"$root/g$g")
+        val hist = latestGenerationBelow(root, batchId) match {
+          case None => graft.ops.Relational.scd2Build(batch.filter(lit(false)))
+          case Some(g) => s.read.parquet(s"$root/g$g")
+        }
         graft.ops.Relational.scd2Apply(hist, batch.toDF())
-          .write.mode("overwrite").parquet(s"$root/g${g + 1}")
-        gen.incrementAndGet()
-        // Generation g is dead once g+1 is durable — delete it so the
-        // alternating layout holds exactly two generations at peak, not
-        // one per micro-batch (a week of 5-minute batches would otherwise
-        // keep ~2000 full history copies).
-        if (g >= 0)
-          try org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(s"$root/g$g"))
-          catch { case _: java.io.IOException => () }
+          .write.mode("overwrite").parquet(s"$root/g$batchId")
+        lastGen.set(batchId)
+        // Two generations stay live (this one + its input); everything
+        // older is dead — so a week of 5-minute batches holds two full
+        // history copies, not ~2000.
+        dropGenerationsBelow(root, batchId - 1)
         ()
       }
       .start()
@@ -335,14 +342,36 @@ object EventStreams {
       catch { case _: java.io.IOException => () }
     }
     // Zero micro-batches (e.g. the glob matched no files) means no
-    // generation was ever written; read of g-1 would fail with an opaque
-    // path error, so return the well-typed empty history instead.
-    if (gen.get() < 0)
+    // generation was ever written; a blind path read would fail with an
+    // opaque error, so return the well-typed empty history instead.
+    if (lastGen.get() < 0)
       graft.ops.Relational.scd2Build(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), onDisk))
     else
-      spark.read.parquet(s"$root/g${gen.get()}")
+      spark.read.parquet(s"$root/g${lastGen.get()}")
         .orderBy("o_custkey", "version_n")
+  }
+
+  /** The largest on-disk generation id strictly below `batchId` — how a
+    * (possibly replayed) epoch finds its pre-batch history without
+    * trusting a driver-side counter that a replay would have outrun. */
+  private def latestGenerationBelow(root: String, batchId: Long): Option[Long] = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    val gens = dirs.toSeq.filter(_.isDirectory).map(_.getName)
+      .collect { case s if s.startsWith("g") && s.drop(1).forall(_.isDigit) =>
+        s.drop(1).toLong }
+    gens.filter(_ < batchId).sorted.lastOption
+  }
+
+  private def dropGenerationsBelow(root: String, cutoff: Long): Unit = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    dirs.toSeq.filter(_.isDirectory).foreach { d =>
+      val name = d.getName
+      if (name.startsWith("g") && name.drop(1).forall(_.isDigit) &&
+          name.drop(1).toLong < cutoff)
+        try org.apache.commons.io.FileUtils.deleteDirectory(d)
+        catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Streaming SCD2 maintenance COMPOSED with as-of fact enrichment — the
@@ -379,7 +408,9 @@ object EventStreams {
     val root = graft.WorkDirs.fresh("stream_scd2e_hist")
     val emitRoot = graft.WorkDirs.fresh("stream_scd2e_emit")
     val chk = graft.WorkDirs.fresh("stream_scd2e_chk")
-    val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // Generation-per-batchId + lazy deletion: same at-least-once replay
+    // discipline as scd2MaintainStream (see its doc comment).
+    val lastGen = new java.util.concurrent.atomic.AtomicLong(-1L)
     // The q141 fact framing: events re-dated onto the dimension's history
     // span by exact integer arithmetic (see Relational.scd2PointInTime).
     def factsOf(s: SparkSession): org.apache.spark.sql.DataFrame =
@@ -387,27 +418,37 @@ object EventStreams {
         date_add(lit("1995-01-01").cast("date"),
           (col("event_id") % 2400).cast("int"))
           .cast("timestamp").as("fact_ts"))
+    // Seed the emissions dir with the TYPED empty emission (single empty
+    // part file, schema in the footer — the nearDupAdmissionStream
+    // discipline): a run whose batches all touch keys with no facts, or
+    // that sees zero batches, still settles to a readable, correctly-
+    // typed result instead of a schema-inference error.
+    factsOf(ss).filter(lit(false))
+      .select(col("event_id"), col("user_id"), col("fact_ts"),
+        lit(null).cast("string").as("priority_at_fact"),
+        lit(-1L).as("__gen"))
+      .repartition(1).write.mode("overwrite").parquet(emitRoot)
     val q = stream.writeStream
       .option("checkpointLocation", chk)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val g = gen.get()
-        val hist =
-          if (g < 0) graft.ops.Relational.scd2Build(batch.filter(lit(false)))
-          else s.read.parquet(s"$root/g$g")
+        val hist = latestGenerationBelow(root, batchId) match {
+          case None => graft.ops.Relational.scd2Build(batch.filter(lit(false)))
+          case Some(g) => s.read.parquet(s"$root/g$g")
+        }
         val next = graft.ops.Relational.scd2Apply(hist, batch.toDF())
-        next.write.mode("overwrite").parquet(s"$root/g${g + 1}")
-        gen.incrementAndGet()
-        if (g >= 0)
-          try org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(s"$root/g$g"))
-          catch { case _: java.io.IOException => () }
+        next.write.mode("overwrite").parquet(s"$root/g$batchId")
+        lastGen.set(batchId)
+        dropGenerationsBelow(root, batchId - 1)
         // Enrich ONLY the touched keys' facts against the key's
         // now-current history. History interval rows ARE change rows
         // (effective_from = change instant); same-instant ties collapse
         // to the winning version before the as-of, like scd2PointInTime.
+        // A replayed epoch appends byte-identical rows under the same
+        // __gen; the settle's last-generation-wins pick is indifferent
+        // to duplicates of identical content.
         val keys = batch.select(col("o_custkey").as("user_id")).distinct()
-        val changes = s.read.parquet(s"$root/g${g + 1}")
+        val changes = s.read.parquet(s"$root/g$batchId")
           .join(keys, col("o_custkey") === keys("user_id"), "left_semi")
           .groupBy(col("o_custkey").as("user_id"), col("effective_from"))
           .agg(expr("max_by(o_orderpriority, version_n)").as("o_orderpriority"))
@@ -416,7 +457,7 @@ object EventStreams {
           "fact_ts", "effective_from", Seq("o_orderpriority"))
           .select(col("event_id"), col("user_id"), col("fact_ts"),
             col("o_orderpriority").as("priority_at_fact"),
-            lit(g + 1).as("__gen"))
+            lit(batchId).as("__gen"))
           .write.mode("append").parquet(emitRoot)
         ()
       }
@@ -427,17 +468,14 @@ object EventStreams {
       catch { case _: java.io.IOException => () }
     }
     val facts = factsOf(spark)
-    val settled =
-      if (gen.get() < 0) facts.filter(lit(false))
-        .select(col("event_id"), lit(null).cast("string").as("priority_at_fact"))
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_id")).orderBy(col("__gen").desc)
-        spark.read.parquet(emitRoot)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("event_id"), col("priority_at_fact"))
-      }
+    // The seed file guarantees emitRoot is always readable; the window
+    // over __gen desc settles each fact to its LAST touching batch.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id")).orderBy(col("__gen").desc)
+    val settled = spark.read.parquet(emitRoot)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("event_id"), col("priority_at_fact"))
     facts.join(settled, Seq("event_id"), "left")
       .select(col("event_id"), col("user_id"), col("fact_ts"),
         col("priority_at_fact"))

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** [[perDistinctContent]]'s duplication-probe memo: (canonicalized input
-    * plan hash, key columns) → (rows, approx distinct). Bounded (cleared
-    * past 256 entries); a stale or colliding entry can only flip a plan
-    * choice between two exact routes. */
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, List[String]), (Long, Long)]()
+    * plan, key columns) → (rows, approx distinct). The key holds the
+    * canonicalized LogicalPlan ITSELF — structural equality, the same
+    * relation Spark's `sameResult` uses — not a 32-bit hash of it, so two
+    * distinct corpora can never collide into a shared verdict. Bounded
+    * (cleared past 256 entries); a stale entry after an external
+    * overwrite of the same path can only flip a plan choice between two
+    * exact routes. */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, List[String]),
+    (Long, Long)]()
 
   /** Is this corpus duplicated enough for a content collapse to pay for
     * its fixed tax (distinct aggregate + fan-out joins)? One cheap probe
@@ -25,12 +30,18 @@ object TextOps {
     * key columns (codegen'd, map-side HLL sketch, no shuffle beyond one
     * sketch per partition) — memoized per (canonicalized plan, keys) so a
     * pipeline running many operators over the same corpus pays the probe
-    * scan once per JVM. Any aliasing/staleness in the memo only nudges a
-    * plan choice between two exact routes, never a result. */
+    * scan once per JVM. Any staleness in the memo only nudges a plan
+    * choice between two exact routes, never a result.
+    *
+    * The probe is an EAGER action at operator-construction time, so a
+    * STREAMING frame (which cannot run batch actions) short-circuits to
+    * `false` — the direct route, which is streaming-safe. Inside
+    * `foreachBatch` the per-batch frame is a batch DataFrame and probes
+    * normally. */
   private[graft] def duplicationHeavy(docs: DataFrame, keyCols: Seq[String],
       minDupFraction: Double = 0.10): Boolean = {
-    val cacheKey = (docs.queryExecution.analyzed.canonicalized.hashCode,
-      keyCols.toList)
+    if (docs.isStreaming) return false
+    val cacheKey = (docs.queryExecution.analyzed.canonicalized, keyCols.toList)
     val (nRows, nDistinct) = Option(probeCache.get(cacheKey)).getOrElse {
       val probe = docs
         .agg(count(lit(1)).as("__n"),
@@ -98,15 +109,18 @@ object TextOps {
   /** Per-document token budget under both tokenizations: whitespace words
     * vs BPE-ish pieces, plus their ratio (pieces per word — a cheap
     * "tokenizer inflation" quality signal: prose sits near 1, code and
-    * punctuation-heavy text inflate). One codegen'd pass, no explode. */
+    * punctuation-heavy text inflate). One codegen'd pass, no explode.
+    * Content-collapsed ([[perDistinctContent]]): the two regex
+    * tokenizations — the entire cost — run once per distinct text. */
   def bpeTokenStats(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      size(tokens(col("text"))).as("n_ws_tokens"),
-      size(bpeTokens(col("text"))).as("n_bpe_tokens"))
-      .withColumn("bpe_per_word",
-        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6))
-      .orderBy("doc_id")
+    perDistinctContent(documents, Seq("text")) { reps =>
+      reps.select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"))
+        .withColumn("bpe_per_word",
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6))
+    }.orderBy("doc_id")
 
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")

@@ -141,6 +141,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t.n_samples == 50L && t.n_frames == 0L && t.total_energy == 0L)
   }
 
+  test("audio payload collapse equals the direct path on a duplicated corpus") {
+    import spark.implicits._
+    // Ids straddling the synth's 65536-period: ids 3 and 65539 carry
+    // byte-identical PCM, so the collapsed route featurizes one of them
+    // and fans the result back; 7 is unique. Duplication 50% > the probe
+    // threshold, so the COLLAPSE route genuinely runs.
+    val ids = Seq(3L, 65539L, 7L, 65543L, 11L, 65547L)
+    val docs = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val audio = Multimodal.audioFromDocuments(spark, docs)
+    val direct = Multimodal.audioFeatures(spark, audio)
+      .toDF().orderBy("media_id").collect().map(_.toSeq).toSeq
+    val collapsed = Multimodal.audioFeaturesByContent(spark, audio)
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(collapsed == direct)
+    assert(collapsed.map(_.head) == ids.sorted)
+  }
+
   test("streaming tumbling aggregation equals the batch result") {
     val streamed = EventStreams.tumblingHourlyStream(spark, sf)
       .select("window_start", "n_events", "sum_value").collect()
