@@ -845,12 +845,14 @@ object SparkEntry {
     // peak frame, zero crossings. All BIGINT math, so unlike the other
     // multimodal stubs this one carries a FULL oracle: DuckDB recomputes
     // the same signal from the formula and the result is hash-checked.
-    // Payload-content collapsed (probe-routed): byte-identical PCM is
-    // featurized once and fanned back — the fixture's synth repeats with
-    // period 65536 in media_id, so replicated corpora collapse ~copies x.
+    // Deliberately the DIRECT path, not audioFeaturesByContent: here the
+    // payload is PRODUCED by the decode stub (no stored binary column to
+    // re-scan), so the collapse's group-by-content passes re-run the
+    // synthesis they exist to avoid — measured 18 s vs 6 s direct at sf3.
+    // The collapsed operator is for stored-payload corpora (see its doc).
     "q117_audio_features" -> ((s, d) =>
-      Multimodal.audioFeaturesByContent(s,
-        Multimodal.audioFromDocuments(s, Tables.documents(s, d)))
+      Multimodal.audioFeatures(s,
+        Multimodal.audioFromDocuments(s, Tables.documents(s, d))).toDF()
         .orderBy("media_id")),
     // Deterministic training-order assignment: md5-bucketed shard + ranked
     // position — the reproducible global shuffle ahead of shard writes.

@@ -313,9 +313,15 @@ object Multimodal {
     * back to members over (md5(payload), sample_rate) equi-joins. The
     * same duplication probe routes ~unique corpora straight to the
     * direct path, so the collapse tax is paid only where repaid.
-    * (The synthetic fixture repeats payloads with period 65536 in
-    * media_id, so replicated scale-up corpora collapse ~copies×; a real
-    * ingest's duplicated clips collapse the same way.) */
+    *
+    * WHEN TO USE WHICH (measured, sf3 replicated corpus): this collapse
+    * pays only when the payload column is STORED (parquet binary) — then
+    * the extra group-by-content passes are cheap column re-scans and the
+    * decode+DSP runs once per distinct clip. When the payload is itself
+    * produced by upstream compute (as in the q117 fixture, where the
+    * decode stub synthesizes PCM), every md5/grouping pass re-runs that
+    * compute and the collapse LOSES (18 s vs 6 s direct at sf3) — q117
+    * therefore stays on [[audioFeatures]] directly. */
   def audioFeaturesByContent(spark: SparkSession, audio: Dataset[AudioRow]): DataFrame = {
     import spark.implicits._
     val df = audio.toDF()

@@ -71,12 +71,15 @@ object Graph {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // Edge+degree stack reused every iteration: pin it once, DISK_ONLY —
-    // serialized blocks on disk, read back per iteration, never resident
-    // as deserialized rows (each executor re-reads its local blocks; rank
-    // state and shuffle buffers keep the heap).
+    // Edge+degree stack reused every iteration: pin it once via the
+    // DataFrame cache — COMPRESSED COLUMNAR batches (three long columns
+    // compress to a few bytes/row), spilling to disk only past the
+    // storage pool. This is what the round-7 localCheckpoint pin was not:
+    // localCheckpoint persists the raw RDD[InternalRow] DESERIALIZED
+    // (row objects on heap — the measured 5.8×-per-decade sf10 memory
+    // wall); the columnar pin holds the same sf10 frame in ~GBs.
     val edgesDeg = edges.join(deg, Seq("src"))
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Bounded driver scalar (one long) whose computation doubles as the
     // action that materializes the pin.
     val n = edgesDeg.select(countDistinct(col("src"))).first().getLong(0)

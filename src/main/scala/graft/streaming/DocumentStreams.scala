@@ -79,7 +79,17 @@ object DocumentStreams {
     val corpus = ss.read.option("pathGlobFilter", "documents*.parquet")
       .parquet(sfDir).filter(pmod(col("doc_id"), lit(2)) === 0)
     val ixRoot = graft.WorkDirs.fresh("neardup_index")
-    val ix = Dedup.nearDupIndex(corpus, n)
+    // Materialize the index ONCE (localCheckpoint), then write the durable
+    // parquet artifact FROM the pinned frames and close every micro-batch
+    // over the same blocks: one index computation total, no per-run
+    // read-back, and the on-disk copy stays the production artifact a
+    // restarted run would load.
+    val ix0 = Dedup.nearDupIndex(corpus, n)
+    val ix = Dedup.NearDupIndex(
+      ix0.stop.localCheckpoint(true),
+      ix0.shingles.localCheckpoint(true),
+      ix0.sizes.localCheckpoint(true),
+      ix0.groups.localCheckpoint(true))
     ix.stop.write.mode("overwrite").parquet(s"$ixRoot/stop")
     ix.shingles.write.mode("overwrite").parquet(s"$ixRoot/shingles")
     ix.sizes.write.mode("overwrite").parquet(s"$ixRoot/sizes")
@@ -93,17 +103,6 @@ object DocumentStreams {
     Dedup.screenNearDups(ix, corpus.filter(lit(false)), n, minJaccard)
       .repartition(1).write.mode("overwrite").parquet(emitRoot)
     val chk = graft.WorkDirs.fresh("neardup_chk")
-    // Load the four index relations ONCE, pinned (localCheckpoint): the
-    // index is immutable for the run, so every micro-batch closes over the
-    // same materialized blocks instead of re-reading + re-planning four
-    // parquet scans per trigger (~2 s of fixed per-run overhead at sf0.1).
-    // The parquet copies stay the durable production artifact; the pin is
-    // only this run's working set.
-    val loaded = Dedup.NearDupIndex(
-      ss.read.parquet(s"$ixRoot/stop").localCheckpoint(true),
-      ss.read.parquet(s"$ixRoot/shingles").localCheckpoint(true),
-      ss.read.parquet(s"$ixRoot/sizes").localCheckpoint(true),
-      ss.read.parquet(s"$ixRoot/groups").localCheckpoint(true))
     val reader = ss.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents*.parquet")
@@ -113,7 +112,7 @@ object DocumentStreams {
     val q = stream.writeStream
       .option("checkpointLocation", chk)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Dedup.screenNearDups(loaded, batch.toDF(), n, minJaccard)
+        Dedup.screenNearDups(ix, batch.toDF(), n, minJaccard)
           .write.mode("append").parquet(emitRoot)
         ()
       }
