@@ -60,14 +60,22 @@ SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$TOUCHED" timeout 720
   > /tmp/campaign8/sf10_dump.log 2>&1
 echo "dump exit=$? failures:"; grep -c "\[verify\].*failed" /tmp/campaign8/sf10_dump.log
 # Of the touched set, these have naive oracles (q37/q34/q67/q92/q101/q110
-# are contractually no-oracle; q32 likewise).
-SF10_ORACLE="q149_copurchase_pagerank,q150_copurchase_components,q117_audio_features,q43_bpe_tokens,q144_stream_scd2,q145_stream_scd2_enrich,q146_incremental_neardup,q148_stream_neardup"
+# are contractually no-oracle; q32 likewise). q146/q148 are NOT here: their
+# naive SQL's candidate join is quadratic in the duplication factor — on the
+# 97%-duplicated sf10 corpus it runs DuckDB out of the whole 125G (measured
+# this round, killed after an hour). They go through the duplication-
+# collapsed checker below, the sf-scale path round 7 validated collapsed-
+# vs-naive at the sf0.1 gate.
+SF10_ORACLE="q149_copurchase_pagerank,q150_copurchase_components,q117_audio_features,q43_bpe_tokens,q144_stream_scd2,q145_stream_scd2_enrich"
 timeout 10800 python3 tools/check_oracle.py /tmp/graft_sf10 /tmp/verify_sf10_r8 "$SF10_ORACLE" \
   > /tmp/campaign8/oracle_sf10_touched.log 2>&1
 echo "sf10 touched oracle exit=$?"; tail -2 /tmp/campaign8/oracle_sf10_touched.log
+timeout 7200 python3 tools/check_q146_collapsed.py /tmp/graft_sf10 /tmp/verify_sf10_r8 \
+  > /tmp/campaign8/oracle_sf10_q146.log 2>&1
+echo "sf10 q146/q148 collapsed exit=$?"; tail -3 /tmp/campaign8/oracle_sf10_q146.log
 SCALE_LABEL="sf10 (100x sf0.1) - round-8 touched queries only; full board is CORRECTNESS_SF10_r07" \
 python3 tools/build_sf3_artifact.py /root/repo/CORRECTNESS_SF10_r08_touched.json /tmp/verify_sf10_r8 \
-  /tmp/campaign8/oracle_sf10_touched.log
+  /tmp/campaign8/oracle_sf10_touched.log /tmp/campaign8/oracle_sf10_q146.log
 
 bench () { # $1 sfdir  $2 out.json  $3 only-filter (or empty)
   local envonly=()
