@@ -27,8 +27,12 @@ object Bench {
     // those queries. Unset (the driver's invocation) => full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Bench-only extras (converged PageRank etc.) are reachable ONLY by
+    // naming them in SPARK_GRAFT_ONLY — the default full suite stays the
+    // oracle board, so round-over-round totals remain comparable.
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case Some(names) =>
+        (SparkEntry.queries ++ SparkEntry.benchExtras).filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
 
@@ -52,9 +56,18 @@ object Bench {
       // EVERY best-of-N sample (round-7 ADVICE). Rebuilding here keeps
       // the sweep simple (no selective-unpersist bookkeeping) while the
       // timed section measures the probe, as the index contract intends.
+      // A FAILED warm-up means the timed sample silently pays the rebuild —
+      // exactly the probe-vs-rebuild incomparability this hook removes — so
+      // it must be loud: logged AND the sample marked tainted, which routes
+      // it through the same suspect/retry machinery as a steal storm.
+      var warmFailed = false
       if (SparkEntry.IndexBackedQueries(name))
         try SparkEntry.warmIndexes(spark, sfDir)
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          warmFailed = true
+          System.err.println(s"[bench] $name: warmIndexes FAILED (sample will " +
+            s"pay the index rebuild): ${e.getMessage}")
+        }
       val s0 = stealJiffies()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -79,7 +92,7 @@ object Bench {
       // samples makes them AGREE with each other while being uniformly
       // wrong.
       val capacity = Runtime.getRuntime.availableProcessors() * dt
-      Sample(dt, stolen > 1.0 && stolen > 0.10 * capacity)
+      Sample(dt, warmFailed || (stolen > 1.0 && stolen > 0.10 * capacity))
     }
 
     // Pass 1: best-of-2 per query (min of independent runs defeats brief
@@ -132,7 +145,7 @@ object Bench {
       System.err.println(
         f"[bench] $name%-28s $dt%8.2f s  (runs: ${
           all.map(s => f"${s.dt}%.2f" + (if (s.tainted) "*" else "")).mkString(", ")})$flag")
-      (name, dt, failedSet(name), all.map(_.dt))
+      (name, dt, failedSet(name), all)
     }
     // A failed query's time-to-exception is NOT a measurement — reporting it
     // would let a fast failure masquerade as a fast query. Failures are
@@ -155,10 +168,20 @@ object Bench {
     // min; `runs` carries every sample so a swing on unchanged code can be
     // judged against its own spread instead of a single point.
     val runsJson = results.collect { case (k, _, false, ss) =>
-      "\"" + k + "\":" + ss.map(v => f"$v%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ss.map(s => f"${s.dt}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Steal-taint summary as DATA, not a log line: per-query count of
+    // tainted samples (nonzero entries only), so a reader of the artifact
+    // can see which timings fought co-tenant contention without digging
+    // through stderr. A query whose EVERY sample was tainted reports its
+    // min anyway (flagged "(still tainted)" in the log) — this field is
+    // how that shows up in the JSON.
+    val taintedJson = results.collect {
+      case (k, _, false, ss) if ss.exists(_.tainted) =>
+        "\"" + k + "\":" + ss.count(_.tainted)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","engine_total":$engineTotal,"ml_total":$mlTotal,"queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","engine_total":$engineTotal,"ml_total":$mlTotal,"queries":$qs,"runs":$runsJson,"tainted":$taintedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Sidecar copy: the driver's round artifact stores a bounded log tail,
     // and with 100 queries the single JSON line can outgrow it (BENCH_r03

@@ -123,13 +123,29 @@ object SparkEntry {
   def warmIndexes(s: SparkSession, d: String): Unit = {
     ivfIndex(s, d)
     pqIndex(s, d)
+    graft.streaming.DocumentStreams.warmNearDupIndex(s, d)
     ()
   }
 
-  /** The queries whose timing depends on [[warmIndexes]]' memos. */
+  /** The queries whose timing depends on [[warmIndexes]]' memos. q148 is
+    * here for its PERSISTED near-dup screening index (built once per
+    * corpus by [[graft.streaming.DocumentStreams.warmNearDupIndex]]): with
+    * the artifact warm, the timed run measures stream machinery + per-batch
+    * screens — the build-once/screen-many contract the index exists for. */
   val IndexBackedQueries: Set[String] = Set(
     "q34_ivf_topk", "q67_ivf_knn", "q92_pq_topk",
-    "q101_ivf_cold_lookup", "q110_ann_recall")
+    "q101_ivf_cold_lookup", "q110_ann_recall", "q148_stream_neardup")
+
+  /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
+    * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
+    * x_pagerank_converged is the production centrality shape (iterate to
+    * eps, ~85 rounds at sf1): its per-iteration eager checkpoint is
+    * exactly the cost a 100 TB run cares about, and the fixed-iteration
+    * q149 never exercises it. */
+  val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pagerank_converged" -> ((s, d) =>
+      graft.ops.Graph.coPurchasePageRankConverged(Tables.lineitem(s, d),
+        eps = 1e-6, maxIterations = 200)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1070,7 +1086,19 @@ object SparkEntry {
     // (the q149 checkpoint discipline). Integer-exact labels; oracle is a
     // recursive-CTE transitive closure generated from the same constants.
     "q150_copurchase_components" -> ((s, d) =>
-      graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d))))
+      graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d))),
+    // Subgraph-restricted twins of q149/q150: the SAME operators over
+    // lineitem filtered to l_partkey % SubgraphModulus == 0 (a predicate
+    // the scale corpora's copy offsets preserve), so the full unrolled-fold
+    // / recursive-closure oracle SQL stays DuckDB-feasible at EVERY scale
+    // — the sf10-checkable face of the graph family (the full-graph
+    // oracles exhaust the oracle box's RAM above sf3).
+    "q151_pagerank_subgraph" -> ((s, d) =>
+      graft.ops.Graph.coPurchasePageRank(Tables.lineitem(s, d)
+        .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))),
+    "q152_components_subgraph" -> ((s, d) =>
+      graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d)
+        .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2563,6 +2591,10 @@ object SparkEntry {
     "q148_stream_neardup" -> IncrementalNearDupSql,
     "q149_copurchase_pagerank" -> graft.ops.Graph.pageRankSql(),
     "q150_copurchase_components" -> graft.ops.Graph.coPurchaseComponentsSql(),
+    "q151_pagerank_subgraph" ->
+      graft.ops.Graph.pageRankSql(where = graft.ops.Graph.subgraphWhere),
+    "q152_components_subgraph" ->
+      graft.ops.Graph.coPurchaseComponentsSql(where = graft.ops.Graph.subgraphWhere),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

@@ -14,10 +14,13 @@ import org.apache.spark.storage.StorageLevel
   * ≥ 1) and the classic dangling-mass correction drops out.
   *
   * Scale shape: the edge list and per-node degrees are built once and
-  * pinned DISK_ONLY (serialized blocks, never deserialized row objects
-  * competing with shuffle memory — the sf10 edge frame is ~240M rows,
-  * and holding it MEMORY_AND_DISK was the measured 5.8×-per-decade
-  * memory wall), then each iteration is one hash equi-join
+  * pinned via the DataFrame cache at MEMORY_AND_DISK — COMPRESSED
+  * COLUMNAR batches (three long columns), spilling past the storage
+  * pool, and unpersisted before the operator returns. This replaced the
+  * round-7 localCheckpoint pin, which held the same sf10 ~240M-row
+  * frame as DESERIALIZED row objects on the heap — the measured
+  * 5.8×-per-decade memory wall. Each iteration is then one hash
+  * equi-join
   * (edges ⋈ ranks on src) and two keyed aggregations — the standard
   * distributed PageRank step. Rank lineage is truncated only every
   * [[CheckpointEvery]] iterations (plan depth stays bounded without
@@ -57,9 +60,22 @@ object Graph {
     * a convergence run's plan depth stays bounded. */
   val CheckpointEvery = 4
 
+  /** Storage level for the edge+degree pin. Overridable via the
+    * SPARK_GRAFT_GRAPH_PIN env (any [[StorageLevel.fromString]] name) so a
+    * deployment whose edge frame dwarfs executor storage can move it to
+    * DISK_ONLY without a rebuild; the default is whichever level measured
+    * fastest at the LARGEST bench scale (sf10) — the scale where the
+    * columnar cache competes with shuffle memory — not the mid scales. */
+  private[graft] val EdgePin: StorageLevel =
+    sys.env.get("SPARK_GRAFT_GRAPH_PIN").map(StorageLevel.fromString)
+      .getOrElse(StorageLevel.MEMORY_AND_DISK)
+
   /** The pinned edge+degree frame and node count shared by both PageRank
     * modes: one distinct-basket self-join, symmetrized, degree-annotated,
-    * persisted DISK_ONLY and materialized exactly once. */
+    * cached (columnar, [[EdgePin]]) and materialized exactly once.
+    * Callers MUST unpersist the returned frame before returning — a
+    * forgotten pin is a session-lifetime CacheManager entry (~GBs at
+    * sf10) that repeated calls stack up. */
   private def edgeStack(lineitem: DataFrame): (DataFrame, Long) = {
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = baskets.as("a")
@@ -79,7 +95,7 @@ object Graph {
     // (row objects on heap — the measured 5.8×-per-decade sf10 memory
     // wall); the columnar pin holds the same sf10 frame in ~GBs.
     val edgesDeg = edges.join(deg, Seq("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(EdgePin)
     // Bounded driver scalar (one long) whose computation doubles as the
     // action that materializes the pin.
     val n = edgesDeg.select(countDistinct(col("src"))).first().getLong(0)
@@ -119,23 +135,31 @@ object Graph {
       k: Int = PageRankTopK): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     val (edgesDeg, n) = edgeStack(lineitem)
-    var ranks = initialRanks(edgesDeg, n)
-    var sinceCheckpoint = 0
-    for (i <- 1 to iterations) {
-      ranks = step(edgesDeg, ranks, n, damping)
-      sinceCheckpoint += 1
-      // Truncate lineage only at the cadence (and never after the final
-      // iteration — the caller's single job finishes the chain): bounded
-      // plan depth without a forced materialization per round.
-      if (sinceCheckpoint >= CheckpointEvery && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
-        sinceCheckpoint = 0
+    try {
+      var ranks = initialRanks(edgesDeg, n)
+      var sinceCheckpoint = 0
+      for (i <- 1 to iterations) {
+        ranks = step(edgesDeg, ranks, n, damping)
+        sinceCheckpoint += 1
+        // Truncate lineage only at the cadence (and never after the final
+        // iteration — the eager finalize below finishes the chain): bounded
+        // plan depth without a forced materialization per round.
+        if (sinceCheckpoint >= CheckpointEvery && i < iterations) {
+          ranks = ranks.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
-    }
-    ranks
-      .select(col("part"), round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("part"))
-      .limit(k)
+      // Eagerly materialize the k-row answer so the edge pin can be
+      // released HERE: returning a lazy plan over a persisted frame would
+      // either leak the pin for the session (the round-8 defect — each
+      // call stacked a permanent CacheManager entry) or force callers to
+      // know about it. A ≤k-row localCheckpoint is driver-cheap.
+      ranks
+        .select(col("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part"))
+        .limit(k)
+        .localCheckpoint(true)
+    } finally edgesDeg.unpersist(false)
   }
 
   /** PageRank run to CONVERGENCE: iterate until `max |Δrank| < eps` or
@@ -154,17 +178,25 @@ object Graph {
     var ranks = initialRanks(edgesDeg, n).localCheckpoint(true)
     var delta = Double.MaxValue
     var iter = 0
-    while (delta >= eps && iter < maxIterations) {
-      val next = step(edgesDeg, ranks, n, damping).localCheckpoint(true)
-      // All nodes persist across iterations (symmetry ⇒ every node has an
-      // incoming edge), so the inner join is total.
-      delta = next
-        .join(ranks.withColumnRenamed("rank", "__prev"), Seq("part"))
-        .select(max(abs(col("rank") - col("__prev"))).as("d"))
-        .first().getDouble(0)
-      ranks = next
-      iter += 1
-    }
+    // Convergence detection is IN-ROUND here (each round's own delta is
+    // what's tested), so unlike connectedComponents there is no extra
+    // detection round to budget for: a run whose delta first drops below
+    // eps at round maxIterations passes. The edge pin is released in the
+    // finally — every iteration's checkpoint is eager, so by loop exit the
+    // rank frame no longer reads through it.
+    try {
+      while (delta >= eps && iter < maxIterations) {
+        val next = step(edgesDeg, ranks, n, damping).localCheckpoint(true)
+        // All nodes persist across iterations (symmetry ⇒ every node has an
+        // incoming edge), so the inner join is total.
+        delta = next
+          .join(ranks.withColumnRenamed("rank", "__prev"), Seq("part"))
+          .select(max(abs(col("rank") - col("__prev"))).as("d"))
+          .first().getDouble(0)
+        ranks = next
+        iter += 1
+      }
+    } finally edgesDeg.unpersist(false)
     require(delta < eps,
       s"pagerank: not converged after $maxIterations rounds (max delta $delta >= $eps) " +
         "— raise maxIterations; unconverged ranks would silently misrank.")
@@ -198,36 +230,44 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("component", "__nbr"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("__nbr")).as("__nbr_min"))
-      val propagated = labels
-        .join(neighborMin, Seq("node"))
-        .select(col("node"),
-          least(col("component"), col("__nbr_min")).as("component"),
-          col("component").as("__old"))
-      // Pointer jumping: labels are node ids, so the label-as-node join
-      // always resolves; labels are monotone non-increasing.
-      val parents = propagated.select(
-        col("node").as("__p_id"), col("component").as("__p_label"))
-      val next = propagated
-        .join(parents, col("component") === col("__p_id"), "left")
-        .select(col("node"),
-          coalesce(col("__p_label"), col("component")).as("component"),
-          (coalesce(col("__p_label"), col("component")) < col("__old")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).limit(1).count() == 0
-      labels = next.drop("__changed")
-      iter += 1
-    }
-    edges.unpersist()
+    // `maxIter` bounds PROPAGATION rounds; convergence is only observable
+    // one round later (a full no-change round), so the loop allows exactly
+    // one detection round beyond the cap — a graph whose labels settle at
+    // round maxIter must not throw away correct labels (the extra round
+    // costs nothing on already-converged labels: nothing changes, the
+    // loop exits).
+    try {
+      while (!converged && iter < maxIter + 1) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("node", "dst")
+            .withColumnRenamed("component", "__nbr"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("__nbr")).as("__nbr_min"))
+        val propagated = labels
+          .join(neighborMin, Seq("node"))
+          .select(col("node"),
+            least(col("component"), col("__nbr_min")).as("component"),
+            col("component").as("__old"))
+        // Pointer jumping: labels are node ids, so the label-as-node join
+        // always resolves; labels are monotone non-increasing.
+        val parents = propagated.select(
+          col("node").as("__p_id"), col("component").as("__p_label"))
+        val next = propagated
+          .join(parents, col("component") === col("__p_id"), "left")
+          .select(col("node"),
+            coalesce(col("__p_label"), col("component")).as("component"),
+            (coalesce(col("__p_label"), col("component")) < col("__old")).as("__changed"))
+          .localCheckpoint()
+        converged = next.filter(col("__changed")).limit(1).count() == 0
+        labels = next.drop("__changed")
+        iter += 1
+      }
+    } finally edges.unpersist()
     require(converged,
-      s"connectedComponents: not converged after $maxIter rounds — raise maxIter " +
-        "(partial labels would be WRONG components). The loop exits on the first " +
-        "no-change round, so a generous cap costs nothing.")
+      s"connectedComponents: not converged after $maxIter propagation rounds " +
+        "(+1 detection round) — raise maxIter (partial labels would be WRONG " +
+        "components). The loop exits on the first no-change round, so a " +
+        "generous cap costs nothing.")
     labels
   }
 
@@ -265,13 +305,34 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Deterministic part-id restriction for the SUBGRAPH-oracle variants
+    * (q151/q152): `l_partkey % SubgraphModulus == 0`. The scale corpora
+    * offset part keys by multiples of 10M per copy (10M % 50 == 0), so the
+    * predicate classifies every copy identically and the restricted graph
+    * at sfN is N/0.1 disjoint copies of the sf0.1 subgraph — small enough
+    * (~45k edges at sf10) that the full recursive-closure / unrolled-fold
+    * oracle SQL runs in DuckDB at EVERY scale, closing the sf10
+    * unchecked-oracle gap the full graph's oracle hits (it exhausts the
+    * oracle box's RAM above sf3 — an oracle-infrastructure limit, not an
+    * engine one). The engine side runs the IDENTICAL operators on the
+    * filtered lineitem, so the subgraph queries exercise the same code
+    * path q149/q150 bench on the full graph. */
+  val SubgraphModulus = 50
+
+  /** SQL predicate string mirrored on both engine and oracle sides of the
+    * subgraph variants; empty string = unrestricted. */
+  def subgraphWhere: String = s"WHERE l_partkey % $SubgraphModulus = 0"
+
   /** The q150 DuckDB oracle: the same thresholded edge set, components via
     * a recursive-CTE transitive closure (q69's oracle pattern), LEFT JOIN
     * back onto all parts. MATERIALIZED CTEs keep DuckDB from re-evaluating
-    * the basket self-join per closure step. */
-  def coPurchaseComponentsSql(minSupport: Int = ComponentsMinSupport): String =
+    * the basket self-join per closure step. `where` (a raw SQL predicate,
+    * e.g. [[subgraphWhere]]) restricts BOTH lineitem references — the edge
+    * base AND the all-parts node set — for the q152 subgraph variant. */
+  def coPurchaseComponentsSql(minSupport: Int = ComponentsMinSupport,
+      where: String = ""): String =
     s"""WITH RECURSIVE b AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem $where),
        |p AS MATERIALIZED (
        |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
        |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
@@ -285,7 +346,7 @@ object Graph {
        |  SELECT c.u, d.v FROM closure c JOIN undirected d ON c.v = d.u),
        |comp AS (SELECT u AS part, LEAST(u, MIN(v)) AS component
        |         FROM closure GROUP BY u),
-       |nodes AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+       |nodes AS (SELECT DISTINCT l_partkey AS part FROM lineitem $where)
        |SELECT n.part, coalesce(comp.component, n.part) AS component,
        |  coalesce(comp.component, n.part) = n.part AS is_representative
        |FROM nodes n LEFT JOIN comp USING (part)
@@ -304,11 +365,12 @@ object Graph {
     * DuckDB's spill disk above sf1 (the round-7 unchecked-oracle gap). */
   def pageRankSql(iterations: Int = PageRankIterations,
       damping: Double = PageRankDamping,
-      k: Int = PageRankTopK): String = {
+      k: Int = PageRankTopK,
+      where: String = ""): String = {
     val d = s"CAST($damping AS DOUBLE)"
     val head =
       s"""WITH b AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem $where),
          |p AS MATERIALIZED (
          |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
          |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey

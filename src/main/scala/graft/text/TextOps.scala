@@ -12,17 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** [[perDistinctContent]]'s duplication-probe memo: (canonicalized input
-    * plan, key columns) → (rows, approx distinct). The key holds the
-    * canonicalized LogicalPlan ITSELF — structural equality, the same
-    * relation Spark's `sameResult` uses — not a 32-bit hash of it, so two
-    * distinct corpora can never collide into a shared verdict. Bounded
-    * (cleared past 256 entries); a stale entry after an external
-    * overwrite of the same path can only flip a plan choice between two
-    * exact routes. */
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, List[String]),
-    (Long, Long)]()
+  /** [[perDistinctContent]]'s duplication-probe memo: (canonicalized-plan
+    * digest, key columns) → (rows, approx distinct). The key is the MD5 of
+    * the canonicalized LogicalPlan's string form — 128 bits, so two
+    * distinct corpora colliding into a shared verdict is negligible (the
+    * round-7 worry was a 32-bit hash), while holding NO reference to the
+    * plan tree itself: foreachBatch micro-batch plans (LogicalRDD) carry
+    * RDD lineage, and 256 strongly-held trees would delay ContextCleaner
+    * shuffle/block cleanup in long-running streams. LRU with capacity 256
+    * (access-order LinkedHashMap, eldest evicted) — a sweep evicts only
+    * the coldest corpus, never the hot ones mid-pipeline. Staleness after
+    * an external overwrite of the same path can only flip a plan choice
+    * between two exact routes. */
+  private val ProbeCacheCap = 256
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, List[String]), (Long, Long)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, List[String]), (Long, Long)]): Boolean =
+        size() > ProbeCacheCap
+    })
+
+  private def planDigest(docs: DataFrame): String = {
+    val canonical = docs.queryExecution.analyzed.canonicalized.toString()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 
   /** Is this corpus duplicated enough for a content collapse to pay for
     * its fixed tax (distinct aggregate + fan-out joins)? One cheap probe
@@ -41,14 +57,13 @@ object TextOps {
   private[graft] def duplicationHeavy(docs: DataFrame, keyCols: Seq[String],
       minDupFraction: Double = 0.10): Boolean = {
     if (docs.isStreaming) return false
-    val cacheKey = (docs.queryExecution.analyzed.canonicalized, keyCols.toList)
+    val cacheKey = (planDigest(docs), keyCols.toList)
     val (nRows, nDistinct) = Option(probeCache.get(cacheKey)).getOrElse {
       val probe = docs
         .agg(count(lit(1)).as("__n"),
           approx_count_distinct(xxhash64(keyCols.map(col): _*)).as("__d"))
         .first()
       val v = (probe.getLong(0), probe.getLong(1))
-      if (probeCache.size > 256) probeCache.clear()
       probeCache.put(cacheKey, v)
       v
     }
@@ -516,11 +531,54 @@ object TextOps {
     *    near-dups at Hamming ≤ 3 are in practice near-identical in length,
     *    and the bound makes the heuristic explicit. */
   def simHashNearDups(documents: DataFrame, maxHamming: Int = 3,
-      lengthBucketSize: Int = 64): DataFrame = {
-    // localCheckpoint: materialized once, consumed by both join sides;
-    // blocks are released by the ContextCleaner when the frame is dropped
-    // (the round-1 cache() was never unpersisted).
-    val sh = simHashWithLen(documents).localCheckpoint()
+      lengthBucketSize: Int = 64): DataFrame =
+    if (duplicationHeavy(documents, Seq("text"))) {
+      // CONTENT COLLAPSE (the duplication-aware shape every near-dup
+      // operator here uses, probed data-driven): byte-identical copies
+      // have identical simhash AND identical n_tokens, so on a replicated
+      // corpus the direct route re-tokenizes every copy and its band
+      // buckets hold d copies of every doc — the candidate join does d²
+      // the work for the same distinct verdicts. Collapse to distinct
+      // texts first: tokenize + band-join once per distinct text, then
+      // expand group pairs to member pairs (cross-group pairs keep their
+      // group hamming; intra-group pairs are exact copies — hamming 0 —
+      // emitted by a gid equi-self-join, output-sized, no band pass).
+      val keyed = documents.select(md5(col("text")).as("gid"),
+        col("doc_id"), col("text"))
+      val members = keyed.select(col("gid"), col("doc_id"))
+      val reps = keyed.select(col("gid").as("doc_id"), col("text"))
+        .dropDuplicates("doc_id")
+      val gp = simHashBandPairs(
+        simHashWithLen(reps).localCheckpoint(), maxHamming, lengthBucketSize)
+      val cross = gp
+        .join(members.select(col("gid").as("doc_a"), col("doc_id").as("__da")),
+          Seq("doc_a"))
+        .join(members.select(col("gid").as("doc_b"), col("doc_id").as("__db")),
+          Seq("doc_b"))
+        .select(least(col("__da"), col("__db")).as("doc_a"),
+          greatest(col("__da"), col("__db")).as("doc_b"), col("hamming"))
+      val intra = members.as("x")
+        .join(members.as("y"), col("x.gid") === col("y.gid") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0).as("hamming"))
+      cross.union(intra).orderBy("doc_a", "doc_b")
+    } else {
+      simHashBandPairs(
+        // localCheckpoint: materialized once, consumed by both join sides;
+        // blocks are released by the ContextCleaner when the frame is
+        // dropped (the round-1 cache() was never unpersisted).
+        simHashWithLen(documents).localCheckpoint(), maxHamming, lengthBucketSize)
+        .orderBy("doc_a", "doc_b")
+    }
+
+  /** The banded candidate join over a (doc_id, simhash, n_tokens) frame —
+    * shared by both [[simHashNearDups]] routes (ids are doc ids on the
+    * direct route, content-group ids on the collapsed one; the logic is
+    * id-type-agnostic). Returns (doc_a < doc_b, hamming ≤ maxHamming),
+    * deduped across the 4 band collisions. */
+  private def simHashBandPairs(sh: DataFrame, maxHamming: Int,
+      lengthBucketSize: Int): DataFrame = {
     val lb: org.apache.spark.sql.Column =
       if (lengthBucketSize > 0) floor(col("n_tokens") / lengthBucketSize) else lit(0L)
     val bands = (0 until 4).map { b =>
@@ -543,7 +601,6 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Data-driven language identification: build per-language token profiles

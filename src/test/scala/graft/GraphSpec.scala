@@ -138,4 +138,54 @@ class GraphSpec extends SparkSpec {
     assert(sql.contains("WITH RECURSIVE"))
     assert(sql.contains("p AS MATERIALIZED"))
   }
+
+  test("connected components: labels settling exactly at the cap still return (detection round is extra)") {
+    // Path 1-2 settles in ONE propagation round; observing convergence
+    // needs a second (no-change) round. maxIter=1 must therefore succeed —
+    // the cap bounds propagation rounds, not the detection round (round-8
+    // ADVICE: correct labels were thrown away when detection landed on the
+    // cap).
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("pagerank entry points release the edge pin (no CacheManager residue)") {
+    // Round-8 leak: edgeStack's persist was never unpersisted by either
+    // PageRank entry point, stacking a permanent ~GBs CacheManager entry
+    // per call. Both modes must leave the cache empty on return.
+    spark.catalog.clearCache()
+    Graph.coPurchasePageRank(lineitem).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "fixed-iteration mode leaked the edge pin")
+    Graph.coPurchasePageRankConverged(lineitem, eps = 1e-4, maxIterations = 200).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "convergence mode leaked the edge pin")
+  }
+
+  test("subgraph oracle SQL restricts every lineitem reference") {
+    val w = Graph.subgraphWhere
+    assert(w.contains(s"% ${Graph.SubgraphModulus} = 0"))
+    val pr = Graph.pageRankSql(where = w)
+    assert(pr.split("FROM lineitem", -1).length == 2 && pr.contains(s"FROM lineitem $w"))
+    val cc = Graph.coPurchaseComponentsSql(where = w)
+    // components SQL reads lineitem twice (edges + node set): BOTH must
+    // carry the predicate or the oracle's singleton set diverges.
+    assert(cc.split(s"FROM lineitem $w", -1).length == 3)
+  }
+
+  test("subgraph restriction: engine result equals full-graph result on a closed subgraph") {
+    // A lineitem whose orders never mix mod-0 and non-mod-0 parts: the
+    // restricted graph IS a union of full-graph components, so components
+    // of the filtered input must agree with the full run on those parts.
+    val li = Seq(
+      (1L, 50L), (1L, 100L), (2L, 50L), (2L, 100L), // mod-0 pair, support 2
+      (3L, 7L), (3L, 9L), (4L, 7L), (4L, 9L))       // non-mod-0 pair
+      .toDF("l_orderkey", "l_partkey")
+    val sub = Graph.coPurchaseComponents(
+      li.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.lit(Graph.SubgraphModulus)) === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sub == Map(50L -> 50L, 100L -> 50L))
+  }
 }
