@@ -63,9 +63,16 @@ object Graph {
   /** Storage level for the edge+degree pin. Overridable via the
     * SPARK_GRAFT_GRAPH_PIN env (any [[StorageLevel.fromString]] name) so a
     * deployment whose edge frame dwarfs executor storage can move it to
-    * DISK_ONLY without a rebuild; the default is whichever level measured
-    * fastest at the LARGEST bench scale (sf10) — the scale where the
-    * columnar cache competes with shuffle memory — not the mid scales. */
+    * DISK_ONLY without a rebuild. The default was settled by a 2x2
+    * fresh-JVM A/B at the LARGEST bench scale (sf10, ~240M edge rows,
+    * round 9): with the pin released on return (below), MEMORY_AND_DISK
+    * best 152.6 s vs DISK_ONLY best 149.7 s — a tie inside the run-to-run
+    * spread (150-187 s across all samples) — while at sf3 the columnar
+    * cache had measured ~1.6x faster (37 s vs 61 s, round 8). Columnar
+    * MEMORY_AND_DISK therefore stays: it wins the mid scale and costs
+    * nothing at the top one. (The round-8 237 s sf10 wall under this same
+    * level was the LEAKED pin competing with shuffle memory, not the
+    * level itself.) */
   private[graft] val EdgePin: StorageLevel =
     sys.env.get("SPARK_GRAFT_GRAPH_PIN").map(StorageLevel.fromString)
       .getOrElse(StorageLevel.MEMORY_AND_DISK)
