@@ -1098,7 +1098,16 @@ object SparkEntry {
         .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))),
     "q152_components_subgraph" -> ((s, d) =>
       graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d)
-        .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))))
+        .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))),
+    // Local-structure graph queries completing the X10 family's axes
+    // (q149/q151 global centrality, q150/q152 connectivity, q153/q154
+    // local clustering): both run on the SAME support-thresholded edge
+    // set as q150, with degree-ordered wedge enumeration so a power-law
+    // hub cannot square the join intermediate.
+    "q153_copurchase_triangles" -> ((s, d) =>
+      graft.ops.Graph.coPurchaseTriangles(Tables.lineitem(s, d))),
+    "q154_link_prediction" -> ((s, d) =>
+      graft.ops.Graph.coPurchaseLinkPrediction(Tables.lineitem(s, d))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2595,6 +2604,8 @@ object SparkEntry {
       graft.ops.Graph.pageRankSql(where = graft.ops.Graph.subgraphWhere),
     "q152_components_subgraph" ->
       graft.ops.Graph.coPurchaseComponentsSql(where = graft.ops.Graph.subgraphWhere),
+    "q153_copurchase_triangles" -> graft.ops.Graph.trianglesSql(),
+    "q154_link_prediction" -> graft.ops.Graph.linkPredictionSql(),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

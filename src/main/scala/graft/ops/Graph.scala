@@ -312,6 +312,140 @@ object Graph {
       .orderBy("part")
   }
 
+  /** The support-thresholded co-purchase edge list (src < dst): parts
+    * linked when they co-occur in at least `minSupport` distinct orders —
+    * the same sparse affinity graph [[coPurchaseComponents]] clusters,
+    * shared by the local-structure operators below. */
+  private def thresholdedPairs(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
+      .select(col("src"), col("dst"))
+  }
+
+  /** q153: per-node triangle participation over the support-thresholded
+    * co-purchase graph. Edges are oriented LOW-DEGREE -> HIGH-DEGREE
+    * (ties by id) before the wedge join — degree-ordered triangle
+    * enumeration: every triangle is produced exactly once and the wedge
+    * intermediate is O(m^1.5) regardless of hub skew, where an
+    * id-oriented wedge join degrades to O(max_deg^2) on a power-law hub.
+    * The oriented edge list is localCheckpoint'ed once and consumed by
+    * all three join legs (blocks reclaimed by the ContextCleaner when
+    * the frame drops out of scope). Integer-exact; [[trianglesSql]]
+    * mirrors the identical orientation in DuckDB. */
+  def coPurchaseTriangles(lineitem: DataFrame, k: Int = PageRankTopK,
+      minSupport: Int = ComponentsMinSupport): DataFrame = {
+    val p = thresholdedPairs(lineitem, minSupport)
+    val und = p.select(col("src").as("u"), col("dst").as("v"))
+      .union(p.select(col("dst").as("u"), col("src").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.select(col("u").as("__au"), col("d").as("__da")),
+        col("u") === col("__au"))
+      .join(deg.select(col("u").as("__bu"), col("d").as("__db")),
+        col("v") === col("__bu"))
+      .filter(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("u") < col("v")))
+      .select(col("u").as("s"), col("v").as("t"))
+      .localCheckpoint(true)
+    val tri = e.as("a")
+      .join(e.as("b"), col("a.t") === col("b.s"))
+      .join(e.as("c"), col("c.s") === col("a.s") && col("c.t") === col("b.t"))
+      .select(col("a.s").as("x"), col("a.t").as("y"), col("b.t").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("part"))
+      .limit(k)
+  }
+
+  /** q154: common-neighbor link prediction (Jaccard over neighbor sets)
+    * on the thresholded co-purchase graph: for every NON-adjacent pair
+    * with at least one shared neighbor, score |N(a)∩N(b)| / |N(a)∪N(b)|,
+    * top-k with ties cut by (a, b) id order so the k-row answer is
+    * unique. Wedge enumeration is inherently Σdeg²-shaped; the support
+    * threshold is what keeps that sum bounded (the RAW co-purchase graph
+    * would square a hub's fan-out — 240M edges at sf10 — which is why
+    * the operator refuses to run unthresholded). Scores are integer
+    * ratios evaluated in IEEE double and rounded to 6 digits on both
+    * engines, so the comparison is exact. */
+  def coPurchaseLinkPrediction(lineitem: DataFrame, k: Int = PageRankTopK,
+      minSupport: Int = ComponentsMinSupport): DataFrame = {
+    require(minSupport >= 2,
+      s"linkPrediction needs the support threshold (got $minSupport): the " +
+        "raw co-purchase graph's wedge join squares hub fan-outs")
+    val p = thresholdedPairs(lineitem, minSupport).localCheckpoint(true)
+    val und = p.select(col("src").as("u"), col("dst").as("v"))
+      .union(p.select(col("dst").as("u"), col("src").as("v")))
+    val w = und.as("x")
+      .join(und.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val cand = w.join(p,
+      w("a") === p("src") && w("b") === p("dst"), "left_anti")
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    cand
+      .join(deg.select(col("u").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("__db")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("common").cast("double") /
+          (col("__da") + col("__db") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** q153 oracle: the identical degree-ordered enumeration in DuckDB. */
+  def trianglesSql(k: Int = PageRankTopK,
+      minSupport: Int = ComponentsMinSupport): String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+       |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+       |    AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |und AS (SELECT src AS u, dst AS v FROM p UNION ALL SELECT dst, src FROM p),
+       |dg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+       |e AS MATERIALIZED (
+       |  SELECT un.u AS s, un.v AS t FROM und un
+       |  JOIN dg da ON un.u = da.u JOIN dg db ON un.v = db.u
+       |  WHERE da.d < db.d OR (da.d = db.d AND un.u < un.v)),
+       |tri AS (SELECT a.s AS x, a.t AS y, b.t AS z
+       |  FROM e a JOIN e b ON a.t = b.s
+       |  JOIN e c ON c.s = a.s AND c.t = b.t),
+       |pn AS (SELECT x AS part FROM tri UNION ALL SELECT y FROM tri
+       |       UNION ALL SELECT z FROM tri)
+       |SELECT part, COUNT(*) AS triangles FROM pn GROUP BY part
+       |ORDER BY triangles DESC, part LIMIT $k""".stripMargin
+
+  /** q154 oracle: the identical wedge count + Jaccard in DuckDB. */
+  def linkPredictionSql(k: Int = PageRankTopK,
+      minSupport: Int = ComponentsMinSupport): String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+       |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+       |    AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM p UNION ALL SELECT dst, src FROM p),
+       |dg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+       |w AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS common
+       |      FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+       |      GROUP BY 1, 2),
+       |cand AS (SELECT w.a, w.b, w.common FROM w
+       |         LEFT JOIN p ON w.a = p.src AND w.b = p.dst
+       |         WHERE p.src IS NULL)
+       |SELECT cand.a, cand.b,
+       |  round(CAST(common AS DOUBLE) / (da.d + db.d - common), 6) AS jaccard
+       |FROM cand JOIN dg da ON cand.a = da.u JOIN dg db ON cand.b = db.u
+       |ORDER BY jaccard DESC, cand.a, cand.b LIMIT $k""".stripMargin
+
   /** Deterministic part-id restriction for the SUBGRAPH-oracle variants
     * (q151/q152): `l_partkey % SubgraphModulus == 0`. The scale corpora
     * offset part keys by multiples of 10M per copy (10M % 50 == 0), so the

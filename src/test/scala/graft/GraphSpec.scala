@@ -188,4 +188,45 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(sub == Map(50L -> 50L, 100L -> 50L))
   }
+
+  /** Orders 10/11 realize triangle {1,2,3} (every pair support 2);
+    * orders 12/13 attach pendant 4 to node 1 (no new triangle). */
+  private def triangleFixture = Seq(
+    (10L, 1L), (10L, 2L), (10L, 3L),
+    (11L, 1L), (11L, 2L), (11L, 3L),
+    (12L, 1L), (12L, 4L), (13L, 1L), (13L, 4L))
+    .toDF("l_orderkey", "l_partkey")
+
+  test("triangles: degree-ordered enumeration counts each triangle once per vertex") {
+    val got = Graph.coPurchaseTriangles(triangleFixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("link prediction: jaccard over common neighbors, existing edges excluded") {
+    // Node 1 is the wedge center for (2,3) [already an edge -> anti-joined
+    // out], (2,4) and (3,4). Degrees: 1->3, 2->2, 3->2, 4->1, so
+    // jaccard(2,4) = jaccard(3,4) = 1/(2+1-1) = 0.5; ties cut by id.
+    val got = Graph.coPurchaseLinkPrediction(triangleFixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((2L, 4L, 0.5), (3L, 4L, 0.5)))
+  }
+
+  test("triangles: a skewed hub star yields zero triangles") {
+    // Star: hub 1 linked to 2..6 (each pair in 2 orders), no leaf-leaf
+    // edges -> no triangles despite deg(hub)=5. This is the exact shape
+    // an id-oriented wedge join would square; the degree orientation
+    // points every edge hub-ward, so the hub contributes no wedges.
+    val li = (2L to 6L).flatMap(leaf => Seq(
+      (100L + leaf * 2, 1L), (100L + leaf * 2, leaf),
+      (101L + leaf * 2, 1L), (101L + leaf * 2, leaf)))
+      .toDF("l_orderkey", "l_partkey")
+    assert(Graph.coPurchaseTriangles(li).count() == 0L)
+  }
+
+  test("link prediction refuses an unthresholded run") {
+    intercept[IllegalArgumentException] {
+      Graph.coPurchaseLinkPrediction(triangleFixture, minSupport = 1)
+    }
+  }
 }
