@@ -367,6 +367,24 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
+  test("q153 triangles: wedge enumeration joins hash-keyed, never a cartesian") {
+    // The oriented-edge three-way self-join must stay equi-keyed (a.t=b.s,
+    // c.s=a.s AND c.t=b.t): a nested-loop leg would turn the triangle
+    // enumeration into an all-pairs pass over the edge list.
+    assertPlan("q153_copurchase_triangles",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q154 link prediction: wedge + anti-join stay hash-keyed") {
+    // Wedge join on the shared center (x.u=y.u), anti-join on the exact
+    // (a,b) pair, degree lookups on node id — all equi-joins. A cartesian
+    // anywhere squares the candidate set.
+    assertPlan("q154_link_prediction",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
   test("q147 filter funnel: one corpus scan, map-side signals, tiny assembly") {
     val p = plan("q147_filter_funnel")
     // The document scan feeds a partial aggregate directly — no join or
