@@ -124,6 +124,7 @@ object SparkEntry {
     ivfIndex(s, d)
     pqIndex(s, d)
     graft.streaming.DocumentStreams.warmNearDupIndex(s, d)
+    graft.ops.GraphEdges.warm(s, d)
     ()
   }
 
@@ -131,10 +132,19 @@ object SparkEntry {
     * here for its PERSISTED near-dup screening index (built once per
     * corpus by [[graft.streaming.DocumentStreams.warmNearDupIndex]]): with
     * the artifact warm, the timed run measures stream machinery + per-batch
-    * screens — the build-once/screen-many contract the index exists for. */
+    * screens — the build-once/screen-many contract the index exists for.
+    * The seven graph queries are here for the co-purchase edge artifact
+    * ([[graft.ops.GraphEdges]]): the distinct-basket self-join is built
+    * once per corpus and every graph query LOADS it, so their timed runs
+    * measure the iterative operator, not a per-query rebuild of the shared
+    * derived table (round-9 ask #1). */
   val IndexBackedQueries: Set[String] = Set(
     "q34_ivf_topk", "q67_ivf_knn", "q92_pq_topk",
-    "q101_ivf_cold_lookup", "q110_ann_recall", "q148_stream_neardup")
+    "q101_ivf_cold_lookup", "q110_ann_recall", "q148_stream_neardup",
+    "q149_copurchase_pagerank", "q150_copurchase_components",
+    "q151_pagerank_subgraph", "q152_components_subgraph",
+    "q153_copurchase_triangles", "q154_link_prediction",
+    "q155_pagerank_converged_subgraph")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -144,7 +154,7 @@ object SparkEntry {
     * q149 never exercises it. */
   val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pagerank_converged" -> ((s, d) =>
-      graft.ops.Graph.coPurchasePageRankConverged(Tables.lineitem(s, d),
+      graft.ops.Graph.pageRankConvergedFromPairs(graft.ops.GraphEdges.pairs(s, d),
         eps = 1e-6, maxIterations = 200)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1079,35 +1089,63 @@ object SparkEntry {
     // per iteration, checkpointed constant-depth plans); neighbor sums
     // fold in sorted source order so both engines produce bit-identical
     // ranks. Oracle generated from the same constants (Graph.pageRankSql).
+    // ALL graph queries load the persisted per-corpus edge artifact
+    // (GraphEdges: the support-annotated co-purchase pair list + node
+    // universe, built ONCE per corpus per JVM like the near-dup screening
+    // index) — through round 9 each of the six rebuilt the same
+    // distinct-basket self-join inline, and at sf10 that base dominated
+    // every graph wall. Support thresholds and the subgraph restriction
+    // are pushed-down filters over the artifact; results are identical to
+    // the inline forms (GraphSpec pins frame equality on a fixture).
     "q149_copurchase_pagerank" -> ((s, d) =>
-      graft.ops.Graph.coPurchasePageRank(Tables.lineitem(s, d))),
+      graft.ops.Graph.pageRankFromPairs(graft.ops.GraphEdges.pairs(s, d))),
     // Connected components of the support-thresholded co-purchase graph —
     // hash-to-min propagation with pointer jumping, constant plan depth
     // (the q149 checkpoint discipline). Integer-exact labels; oracle is a
     // recursive-CTE transitive closure generated from the same constants.
     "q150_copurchase_components" -> ((s, d) =>
-      graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d))),
-    // Subgraph-restricted twins of q149/q150: the SAME operators over
-    // lineitem filtered to l_partkey % SubgraphModulus == 0 (a predicate
-    // the scale corpora's copy offsets preserve), so the full unrolled-fold
+      graft.ops.Graph.componentsFromPairs(
+        graft.ops.GraphEdges.pairs(s, d)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport),
+        graft.ops.GraphEdges.nodes(s, d))),
+    // Subgraph-restricted twins of q149/q150: the SAME operators over the
+    // l_partkey % SubgraphModulus == 0 restriction (a predicate the scale
+    // corpora's copy offsets preserve), so the full unrolled-fold
     // / recursive-closure oracle SQL stays DuckDB-feasible at EVERY scale
     // — the sf10-checkable face of the graph family (the full-graph
     // oracles exhaust the oracle box's RAM above sf3).
     "q151_pagerank_subgraph" -> ((s, d) =>
-      graft.ops.Graph.coPurchasePageRank(Tables.lineitem(s, d)
-        .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))),
+      graft.ops.Graph.pageRankFromPairs(
+        graft.ops.GraphEdges.pairs(s, d, subgraph = true))),
     "q152_components_subgraph" -> ((s, d) =>
-      graft.ops.Graph.coPurchaseComponents(Tables.lineitem(s, d)
-        .filter(pmod(col("l_partkey"), lit(graft.ops.Graph.SubgraphModulus)) === 0))),
+      graft.ops.Graph.componentsFromPairs(
+        graft.ops.GraphEdges.pairs(s, d, subgraph = true)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport),
+        graft.ops.GraphEdges.nodes(s, d, subgraph = true))),
     // Local-structure graph queries completing the X10 family's axes
     // (q149/q151 global centrality, q150/q152 connectivity, q153/q154
     // local clustering): both run on the SAME support-thresholded edge
     // set as q150, with degree-ordered wedge enumeration so a power-law
     // hub cannot square the join intermediate.
     "q153_copurchase_triangles" -> ((s, d) =>
-      graft.ops.Graph.coPurchaseTriangles(Tables.lineitem(s, d))),
+      graft.ops.Graph.trianglesFromPairs(
+        graft.ops.GraphEdges.pairs(s, d)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))),
     "q154_link_prediction" -> ((s, d) =>
-      graft.ops.Graph.coPurchaseLinkPrediction(Tables.lineitem(s, d))))
+      graft.ops.Graph.linkPredictionFromPairs(
+        graft.ops.GraphEdges.pairs(s, d)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))),
+    // The CONVERGED PageRank mode, oracled (round-9 ask #6): iterate on the
+    // subgraph until no rank moves by more than ConvergedEpsUniform of the
+    // uniform rank 1/n, then present like q149. The oracle is the same
+    // unrolled-fold SQL pinned at the measured stopping round — exact
+    // because a converged run's ranks after K rounds are bit-identical to
+    // a fixed-K run's (same step arithmetic, same fold order), and the
+    // uniform-relative threshold makes K scale-invariant on the replicated
+    // corpora (ranks and deltas both scale 1/copies).
+    "q155_pagerank_converged_subgraph" -> ((s, d) =>
+      graft.ops.Graph.convergedSubgraphTopK(
+        graft.ops.GraphEdges.pairs(s, d, subgraph = true))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2606,6 +2644,9 @@ object SparkEntry {
       graft.ops.Graph.coPurchaseComponentsSql(where = graft.ops.Graph.subgraphWhere),
     "q153_copurchase_triangles" -> graft.ops.Graph.trianglesSql(),
     "q154_link_prediction" -> graft.ops.Graph.linkPredictionSql(),
+    "q155_pagerank_converged_subgraph" -> graft.ops.Graph.pageRankSql(
+      iterations = graft.ops.Graph.ConvergedSubgraphIters,
+      where = graft.ops.Graph.subgraphWhere),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

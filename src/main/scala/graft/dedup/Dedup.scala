@@ -232,15 +232,92 @@ object Dedup {
     * guarantee comes from exchange reuse: every branch (train grams, bench
     * grams, df filter, bench sizes) hangs off the same `spread` shuffle,
     * and AQE's ReuseExchange collapses the identical subplans at runtime —
-    * asserted by DedupSpec against the executed plan. */
+    * asserted by DedupSpec against the executed plan.
+    *
+    * DUPLICATION-AWARE (round-10: q54 was the board's worst surviving
+    * scale decade, r103 = 4.0×, because on the 97%-duplicated scale
+    * corpora BOTH splits shingled every byte-identical copy): when the
+    * probe says the corpus is duplication-heavy, identical texts collapse
+    * to one representative BEFORE shingling — collisions are a pure
+    * function of (train text, bench text), so the gram equi-join runs
+    * over distinct texts only and member pairs expand back afterwards
+    * (an output-sized join). The training-side document frequency is
+    * weighted by each group's TRAIN member count, so the rare-gram cut
+    * sees the original corpus and the output is row-identical to the
+    * direct route (the q54 oracle runs on all docs; DedupSpec pins
+    * route equality on a duplicated fixture). A content group can hold
+    * members of BOTH splits — the gid-level join keeps gid_t == gid_b
+    * pairs (identical text across the split boundary shares every gram),
+    * which the per-split member expansion then fans out exactly like the
+    * naive join does. */
   def ngramContaminationSplit(documents: DataFrame,
       isBench: org.apache.spark.sql.Column, n: Int = 8,
       minShared: Long = 1L, maxDocFreq: Long = 1000L): DataFrame = {
+    if (graft.text.TextOps.duplicationHeavy(documents, Seq("text")))
+      return ngramContaminationSplitCollapsed(documents, isBench, n, minShared, maxDocFreq)
     val grams = shingled(documents.withColumn("__bench", isBench), n, extra = Seq("__bench"))
       .select(col("doc_id"), col("__bench"), explode(array_distinct(col("sh"))).as("sh"))
     val trainGrams = grams.filter(!col("__bench")).select(col("doc_id").as("train_doc"), col("sh"))
     val benchGrams = grams.filter(col("__bench")).select(col("doc_id").as("bench_doc"), col("sh"))
     contaminationFromGrams(trainGrams, benchGrams, minShared, maxDocFreq)
+  }
+
+  /** The collapsed route of [[ngramContaminationSplit]] — see its doc. */
+  private def ngramContaminationSplitCollapsed(documents: DataFrame,
+      isBench: org.apache.spark.sql.Column, n: Int,
+      minShared: Long, maxDocFreq: Long): DataFrame = {
+    val tagged = documents.withColumn("__bench", isBench)
+    val members = tagged.select(md5(col("text")).as("gid"), col("doc_id"), col("__bench"))
+    // Per-group split census: how many TRAIN members (the df weight) and
+    // whether each side is populated at all (prunes the gid join's inputs).
+    val groups = members.groupBy(col("gid")).agg(
+      sum(when(!col("__bench"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("__bench"), 1L).otherwise(0L)).as("n_bench"),
+      min(col("doc_id")).as("rid"))
+    val reps = tagged.select(col("doc_id"), col("text"))
+      .join(groups.select(col("rid").as("doc_id"), col("gid"),
+        col("n_train"), col("n_bench")), Seq("doc_id"))
+    val grams = shingled(reps, n, extra = Seq("gid", "n_train", "n_bench"))
+      .select(col("gid"), col("n_train"), col("n_bench"),
+        explode(array_distinct(col("sh"))).as("sh"))
+      // One shingling feeds four consumers (df, both join sides, bench
+      // sizes): pin it once, ngramJaccardGraph's discipline.
+      .localCheckpoint(true)
+    // df counts ORIGINAL training documents: each distinct text contributes
+    // its gram once per TRAIN member. Groups with n_train = 0 contribute 0,
+    // which matches the direct route (its df scans train grams only); a
+    // bench-only gram then has df 0 ≤ maxDocFreq, but it cannot collide —
+    // the train side of the join has no row for it.
+    val rare = grams.groupBy(col("sh")).agg(sum(col("n_train")).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("sh")
+    val filtered = grams.join(rare, Seq("sh"))
+    val trainSide = filtered.filter(col("n_train") > 0)
+      .select(col("sh"), col("gid").as("gid_t"))
+    val benchSide = filtered.filter(col("n_bench") > 0)
+      .select(col("sh"), col("gid").as("gid_b"))
+    val gidPairs = trainSide.join(benchSide, Seq("sh"))
+      .groupBy(col("gid_t"), col("gid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // n_bench_grams counts ALL distinct grams of the bench text (the
+    // direct route sizes bench docs BEFORE the rarity cut).
+    val benchSizes = grams.filter(col("n_bench") > 0)
+      .groupBy(col("gid")).agg(count(lit(1)).as("n_bench_grams"))
+    // Output-sized member expansion: every (train member of gid_t, bench
+    // member of gid_b) pair inherits the representative collision count.
+    val trainMembers = members.filter(!col("__bench"))
+      .select(col("gid").as("gid_t"), col("doc_id").as("train_doc"))
+    val benchMembers = members.filter(col("__bench"))
+      .select(col("gid").as("gid_b"), col("doc_id").as("bench_doc"))
+    gidPairs
+      .join(trainMembers, Seq("gid_t"))
+      .join(benchMembers, Seq("gid_b"))
+      .join(benchSizes.withColumnRenamed("gid", "gid_b"), Seq("gid_b"))
+      .withColumn("contaminated_frac",
+        round(col("n_shared").cast("double") / col("n_bench_grams"), 6))
+      .select("train_doc", "bench_doc", "n_shared", "contaminated_frac")
+      .orderBy("train_doc", "bench_doc")
   }
 
   private def contaminationFromGrams(trainGrams: DataFrame, benchGrams: DataFrame,

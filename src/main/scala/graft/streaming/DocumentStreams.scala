@@ -24,25 +24,14 @@ object DocumentStreams {
   private val runId = new AtomicInteger(0)
 
   /** JVM-lifetime memo of the PERSISTED near-dup screening index per corpus
-    * dir: sfDir → (documents-file fingerprint, index root). The value is a
-    * PATH, not DataFrames, so it is session-agnostic and survives cache
-    * sweeps — exactly the production contract: the index is a durable
-    * artifact built once per corpus, and every admission run (or restarted
-    * stream) LOADS it rather than re-shingling the corpus. Keyed by file
-    * listing + sizes + mtimes so an overwritten corpus rebuilds. */
-  private val indexMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (String, String)]
-
-  private def docsFingerprint(spark: SparkSession, sfDir: String): String = {
-    val dir = new org.apache.hadoop.fs.Path(sfDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) "absent"
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.getPath.getName.startsWith("documents") &&
-        st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-  }
+    * dir: sfDir → artifact root ([[graft.ArtifactMemo]]). Paths are
+    * corpus-unique (MD5 of sfDir in the dir name) and builds serialize on a
+    * per-corpus lock, so alternating or concurrent multi-corpus use in one
+    * JVM can neither clobber another corpus's on-disk index nor wipe a path
+    * a running stream is lazily reading (round-9 advice defect: every build
+    * wrote — and `fresh()` first WIPED — the same shared path while the
+    * other corpus's memo entry stayed fingerprint-valid). */
+  private val indexMemo = new graft.ArtifactMemo("neardup_index")
 
   /** Ensure the persisted screening index for `sfDir`'s even-id corpus
     * exists and return its root. Build cost is paid ONCE per (corpus,
@@ -51,30 +40,25 @@ object DocumentStreams {
     * screens, not the index build the contract amortizes away. */
   def warmNearDupIndex(spark: SparkSession, sfDir: String, n: Int = 3): String = {
     import graft.dedup.Dedup
-    val fp = docsFingerprint(spark, sfDir)
-    indexMemo.get(sfDir) match {
-      case Some((ofp, root)) if ofp == fp => root
-      case _ =>
-        val corpus = spark.read.option("pathGlobFilter", "documents*.parquet")
-          .parquet(sfDir).filter(pmod(col("doc_id"), lit(2)) === 0)
-        val ixRoot = graft.WorkDirs.fresh("neardup_index")
-        val ix = Dedup.nearDupIndex(corpus, n)
-        // The four relations share the shingle stack's lineage; writing
-        // them from a localCheckpoint'ed base computes the shingling once
-        // instead of once per file. The checkpoint blocks go out of scope
-        // right after the writes (ContextCleaner reclaims them) — the
-        // durable artifact is the parquet.
-        val pinned = Dedup.NearDupIndex(
-          ix.stop.localCheckpoint(true),
-          ix.shingles.localCheckpoint(true),
-          ix.sizes.localCheckpoint(true),
-          ix.groups.localCheckpoint(true))
-        pinned.stop.write.mode("overwrite").parquet(s"$ixRoot/stop")
-        pinned.shingles.write.mode("overwrite").parquet(s"$ixRoot/shingles")
-        pinned.sizes.write.mode("overwrite").parquet(s"$ixRoot/sizes")
-        pinned.groups.write.mode("overwrite").parquet(s"$ixRoot/groups")
-        indexMemo.put(sfDir, (fp, ixRoot))
-        ixRoot
+    val fp = graft.ArtifactMemo.tableFingerprint(spark, sfDir, "documents")
+    indexMemo.getOrBuild(sfDir, fp) { ixRoot =>
+      val corpus = spark.read.option("pathGlobFilter", "documents*.parquet")
+        .parquet(sfDir).filter(pmod(col("doc_id"), lit(2)) === 0)
+      val ix = Dedup.nearDupIndex(corpus, n)
+      // The four relations share the shingle stack's lineage; writing
+      // them from a localCheckpoint'ed base computes the shingling once
+      // instead of once per file. The checkpoint blocks go out of scope
+      // right after the writes (ContextCleaner reclaims them) — the
+      // durable artifact is the parquet.
+      val pinned = Dedup.NearDupIndex(
+        ix.stop.localCheckpoint(true),
+        ix.shingles.localCheckpoint(true),
+        ix.sizes.localCheckpoint(true),
+        ix.groups.localCheckpoint(true))
+      pinned.stop.write.mode("overwrite").parquet(s"$ixRoot/stop")
+      pinned.shingles.write.mode("overwrite").parquet(s"$ixRoot/shingles")
+      pinned.sizes.write.mode("overwrite").parquet(s"$ixRoot/sizes")
+      pinned.groups.write.mode("overwrite").parquet(s"$ixRoot/groups")
     }
   }
 

@@ -34,7 +34,13 @@ object TextOps {
     })
 
   private def planDigest(docs: DataFrame): String = {
-    val canonical = docs.queryExecution.analyzed.canonicalized.toString()
+    // toString alone is NOT data-inclusive: a LocalRelation prints only its
+    // schema, so two in-memory frames with the same shape but different
+    // rows would collide and serve each other's probe verdict. semanticHash
+    // (the canonicalized tree's hashCode) folds LocalRelation data in;
+    // file-backed plans carry their paths in the string either way.
+    val canonical = docs.queryExecution.analyzed.canonicalized.toString() +
+      "#" + docs.queryExecution.analyzed.semanticHash()
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -58,14 +64,24 @@ object TextOps {
       minDupFraction: Double = 0.10): Boolean = {
     if (docs.isStreaming) return false
     val cacheKey = (planDigest(docs), keyCols.toList)
-    val (nRows, nDistinct) = Option(probeCache.get(cacheKey)).getOrElse {
-      val probe = docs
-        .agg(count(lit(1)).as("__n"),
-          approx_count_distinct(xxhash64(keyCols.map(col): _*)).as("__d"))
-        .first()
-      val v = (probe.getLong(0), probe.getLong(1))
-      probeCache.put(cacheKey, v)
-      v
+    // computeIfAbsent under the map's own lock: get-then-put would let two
+    // threads probing the same cold corpus both pay the probe and interleave
+    // the LRU access order (benign today — bench/verify are serial — but a
+    // concurrent streaming pipeline shouldn't probe twice). The probe is a
+    // sub-second scan, so holding the lock across it is acceptable; a
+    // same-key concurrent caller must wait for the value anyway, and
+    // other-key callers only queue behind it during the one cold probe per
+    // (corpus, keys) per JVM.
+    val (nRows, nDistinct) = probeCache.synchronized {
+      Option(probeCache.get(cacheKey)).getOrElse {
+        val probe = docs
+          .agg(count(lit(1)).as("__n"),
+            approx_count_distinct(xxhash64(keyCols.map(col): _*)).as("__d"))
+          .first()
+        val v = (probe.getLong(0), probe.getLong(1))
+        probeCache.put(cacheKey, v)
+        v
+      }
     }
     nRows > 0 && nDistinct.toDouble / nRows < 1.0 - minDupFraction
   }

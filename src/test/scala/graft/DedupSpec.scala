@@ -231,6 +231,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramContamination(train, bench, n = 8).count() == 3)
   }
 
+  test("contamination collapse: a duplicated corpus routes collapsed and matches the naive join") {
+    // Round-10: q54 was the board's worst scale decade (r103 = 4.0x)
+    // because on the 97%-duplicated scale corpora BOTH splits shingled
+    // every byte-identical copy. The collapsed route must be row-identical
+    // to the naive two-frame join on a fixture with every awkward shape:
+    // cross-split identical text (gid_t == gid_b pairs), within-train
+    // duplication (df weighted per MEMBER, not per distinct text), and a
+    // duplicated text confined to one split.
+    val tA = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val tB = "w3 w4 w5 w6 w7 w8 w9 w10 w11 w12" // shares gram [w3..w10] with tA
+    val tC = "a b c d e f g h i j"              // disjoint from tA/tB
+    val docs = Seq(
+      (1L, tA), (2L, tA), (21L, tA), (20L, tA), // tA: 3 train copies + bench 20
+      (3L, tB), (23L, tB),                      // tB: train-only duplicate
+      (5L, tC), (40L, tC),                      // tC: train 5 + bench 40
+      (6L, tC), (26L, tC), (46L, tC), (66L, tC) // more tC train copies
+    ).toDF("doc_id", "text")
+    val pred = pmod(col("doc_id"), lit(20)) === 0
+    // The fixture must actually trip the duplication probe (3 distinct
+    // texts over 12 docs), or this test exercises the direct route twice.
+    assert(graft.text.TextOps.duplicationHeavy(docs, Seq("text")),
+      "fixture not duplication-heavy; collapse route untested")
+    val naive = Dedup.ngramContamination(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pred)).collect().toSeq
+    val collapsed = Dedup.ngramContaminationSplit(docs, pred).collect().toSeq
+    assert(collapsed == naive)
+    // Spot-check the shapes: bench 20 (tA) collides with every tA train
+    // copy at full overlap (3 grams of 3) and with both tB copies on the
+    // single shared gram; bench 40 (tC) with all five tC train copies.
+    val m = collapsed.map(r => (r.getAs[Long]("train_doc"),
+      r.getAs[Long]("bench_doc")) -> (r.getAs[Long]("n_shared"),
+      r.getAs[Double]("contaminated_frac"))).toMap
+    assert(m((1L, 20L)) == ((3L, 1.0)))
+    assert(m((21L, 20L)) == ((3L, 1.0)))
+    assert(m((3L, 20L)) == ((1L, 0.333333)))
+    assert(m((23L, 20L)) == ((1L, 0.333333)))
+    assert(m((5L, 40L)) == ((3L, 1.0)))
+    assert(m((66L, 40L)) == ((3L, 1.0)))
+    assert(m.size == naive.size && m.size == 3 + 2 + 5)
+  }
+
   test("canonicalizeClusters keeps the longest member, ties to min id") {
     import spark.implicits._
     // One near-dup cluster {1,2,3} (3 shares 2's text verbatim) among

@@ -229,4 +229,89 @@ class GraphSpec extends SparkSpec {
       Graph.coPurchaseLinkPrediction(triangleFixture, minSupport = 1)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Round 10: persisted edge artifact, lazy pin parse, converge-then-pad.
+  // ------------------------------------------------------------------
+
+  test("GraphEdges artifact equals the inline pair/node base, full and subgraph") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val li = Tables.lineitem(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame, by: String*) =
+      df.orderBy(by.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(rows(graft.ops.GraphEdges.pairs(spark, sf), "src", "dst") ==
+      rows(Graph.pairBase(li), "src", "dst"))
+    assert(rows(graft.ops.GraphEdges.nodes(spark, sf), "part") ==
+      rows(Graph.nodeBase(li), "part"))
+    // Subgraph restriction over the artifact == pair base of the filtered
+    // lineitem: a pair survives iff both endpoints do, and n_orders
+    // (orders containing BOTH parts) is unchanged by dropping other parts.
+    val sub = li.filter(pmod(col("l_partkey"), lit(Graph.SubgraphModulus)) === 0)
+    assert(rows(graft.ops.GraphEdges.pairs(spark, sf, subgraph = true), "src", "dst") ==
+      rows(Graph.pairBase(sub), "src", "dst"))
+    assert(rows(graft.ops.GraphEdges.nodes(spark, sf, subgraph = true), "part") ==
+      rows(Graph.nodeBase(sub), "part"))
+  }
+
+  test("artifact-routed operators equal the inline lineitem forms") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    val pairs = graft.ops.GraphEdges.pairs(spark, sf)
+    val thresholded = pairs.filter(col("n_orders") >= Graph.ComponentsMinSupport)
+    assert(Graph.pageRankFromPairs(pairs).collect().map(_.toSeq).toSeq ==
+      Graph.coPurchasePageRank(li).collect().map(_.toSeq).toSeq)
+    assert(Graph.componentsFromPairs(thresholded,
+        graft.ops.GraphEdges.nodes(spark, sf)).collect().map(_.toSeq).toSeq ==
+      Graph.coPurchaseComponents(li).collect().map(_.toSeq).toSeq)
+    assert(Graph.trianglesFromPairs(thresholded).collect().map(_.toSeq).toSeq ==
+      Graph.coPurchaseTriangles(li).collect().map(_.toSeq).toSeq)
+    assert(Graph.linkPredictionFromPairs(thresholded).collect().map(_.toSeq).toSeq ==
+      Graph.coPurchaseLinkPrediction(li).collect().map(_.toSeq).toSeq)
+  }
+
+  test("graph pin env parses lazily with a clear message on a typo") {
+    import org.apache.spark.storage.StorageLevel
+    // Round-9 advice: an eager StorageLevel.fromString at object init made a
+    // typo'd SPARK_GRAFT_GRAPH_PIN an ExceptionInInitializerError poisoning
+    // every graph query; the parse is now per-use with a named-env message.
+    assert(Graph.parsePin(None) == StorageLevel.MEMORY_AND_DISK)
+    assert(Graph.parsePin(Some("DISK_ONLY")) == StorageLevel.DISK_ONLY)
+    val e = intercept[IllegalArgumentException] { Graph.parsePin(Some("MEMORYANDDISK")) }
+    assert(e.getMessage.contains("SPARK_GRAFT_GRAPH_PIN"))
+    assert(e.getMessage.contains("MEMORY_AND_DISK"))
+  }
+
+  test("converge-then-pad: stops at a window boundary, equals the fixed-K run, releases the pin") {
+    import org.apache.spark.sql.functions.{col, round => sround}
+    spark.catalog.clearCache()
+    val pairs = Graph.pairBase(lineitem)
+    val (ranks, stopped) = Graph.convergedPaddedRanks(pairs, eps = 0.5,
+      padToIters = 12, Graph.PageRankDamping)
+    assert(stopped > 0 && stopped <= 12 && stopped % Graph.CheckpointEvery == 0,
+      s"stop round $stopped not on the checkpoint cadence")
+    assert(spark.sharedState.cacheManager.isEmpty, "converge-then-pad leaked the edge pin")
+    // The padded result is the FIXED 12-round run bit-for-bit (same step
+    // arithmetic and fold order) — the property the q155 oracle rests on.
+    val padded = ranks.select(col("part"), sround(col("rank"), 6).as("rank"))
+      .orderBy("part").collect().map(_.toSeq).toSeq
+    val fixed = Graph.pageRankFromPairs(pairs, iterations = 12, k = 10)
+      .orderBy("part").collect().map(_.toSeq).toSeq
+    assert(padded == fixed)
+  }
+
+  test("converge-then-pad refuses a pin too small to converge under (and still releases the pin)") {
+    spark.catalog.clearCache()
+    intercept[IllegalArgumentException] {
+      Graph.convergedPaddedRanks(Graph.pairBase(lineitem), eps = 1e-12,
+        padToIters = 4, Graph.PageRankDamping)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty, "failure path leaked the edge pin")
+  }
+
+  test("q155 oracle SQL is the pinned-round unroll restricted to the subgraph") {
+    val sql = Graph.pageRankSql(iterations = Graph.ConvergedSubgraphIters,
+      where = Graph.subgraphWhere)
+    assert(sql.contains(s"FROM r${Graph.ConvergedSubgraphIters}"))
+    assert(sql.contains(s"FROM lineitem ${Graph.subgraphWhere}"))
+  }
 }

@@ -346,6 +346,20 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
+  test("graph edge artifact: the support threshold reaches the parquet scan") {
+    // The q150/q153/q154 route loads the persisted pair base and filters
+    // n_orders >= minSupport — that filter must push into the artifact
+    // scan (the whole point of persisting support-ANNOTATED pairs: every
+    // threshold is a pruned read, not a recomputed self-join). Asserted on
+    // the raw frame because the operators checkpoint it away immediately.
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.GraphEdges.pairs(spark, sf)
+      .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(n_orders,2)"),
+      s"support threshold not pushed into the artifact scan:\n$p")
+  }
+
   test("q149 pagerank: every iteration joins hash-keyed, never a cartesian") {
     // Pregel-by-joins: edges ⋈ ranks must stay an equi-join on src and
     // the contribution sum a keyed aggregation — a nested-loop anywhere
