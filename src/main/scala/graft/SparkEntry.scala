@@ -133,7 +133,7 @@ object SparkEntry {
     * corpus by [[graft.streaming.DocumentStreams.warmNearDupIndex]]): with
     * the artifact warm, the timed run measures stream machinery + per-batch
     * screens — the build-once/screen-many contract the index exists for.
-    * The seven graph queries are here for the co-purchase edge artifact
+    * The eight graph queries are here for the co-purchase edge artifact
     * ([[graft.ops.GraphEdges]]): the distinct-basket self-join is built
     * once per corpus and every graph query LOADS it, so their timed runs
     * measure the iterative operator, not a per-query rebuild of the shared
@@ -144,7 +144,7 @@ object SparkEntry {
     "q149_copurchase_pagerank", "q150_copurchase_components",
     "q151_pagerank_subgraph", "q152_components_subgraph",
     "q153_copurchase_triangles", "q154_link_prediction",
-    "q155_pagerank_converged_subgraph")
+    "q155_pagerank_converged_subgraph", "q156_clustering_coefficient")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -1145,7 +1145,16 @@ object SparkEntry {
     // corpora (ranks and deltas both scale 1/copies).
     "q155_pagerank_converged_subgraph" -> ((s, d) =>
       graft.ops.Graph.convergedSubgraphTopK(
-        graft.ops.GraphEdges.pairs(s, d, subgraph = true))))
+        graft.ops.GraphEdges.pairs(s, d, subgraph = true))),
+    // Local clustering coefficient — q153's wedge core with a coefficient
+    // finalize (2·T/d(d−1) over the same thresholded edge set): the
+    // density of each node's neighborhood rather than its raw triangle
+    // participation. Integer-exact numerator, one IEEE division, rounded
+    // on both engines.
+    "q156_clustering_coefficient" -> ((s, d) =>
+      graft.ops.Graph.clusteringCoefficientFromPairs(
+        graft.ops.GraphEdges.pairs(s, d)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2647,6 +2656,7 @@ object SparkEntry {
     "q155_pagerank_converged_subgraph" -> graft.ops.Graph.pageRankSql(
       iterations = graft.ops.Graph.ConvergedSubgraphIters,
       where = graft.ops.Graph.subgraphWhere),
+    "q156_clustering_coefficient" -> graft.ops.Graph.clusteringCoefficientSql(),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

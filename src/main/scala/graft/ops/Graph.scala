@@ -417,6 +417,18 @@ object Graph {
     * legs (blocks reclaimed by the ContextCleaner when the frames drop
     * out of scope). */
   def trianglesFromPairs(pairs: DataFrame, k: Int = PageRankTopK): DataFrame = {
+    val (_, counts) = degreesAndTriangleCounts(pairs)
+    counts
+      .orderBy(col("triangles").desc, col("part"))
+      .limit(k)
+  }
+
+  /** The degree-ordered wedge core shared by q153 and q156: per-node
+    * degrees over the symmetrized pair base, and per-node triangle
+    * participation counts (nodes in no triangle absent — consumers
+    * left-join/coalesce). See [[trianglesFromPairs]] for the checkpoint
+    * discipline. */
+  private def degreesAndTriangleCounts(pairs: DataFrame): (DataFrame, DataFrame) = {
     val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
     val und = p.select(col("src").as("u"), col("dst").as("v"))
       .union(p.select(col("dst").as("u"), col("src").as("v")))
@@ -434,11 +446,82 @@ object Graph {
       .join(e.as("b"), col("a.t") === col("b.s"))
       .join(e.as("c"), col("c.s") === col("a.s") && col("c.t") === col("b.t"))
       .select(col("a.s").as("x"), col("a.t").as("y"), col("b.t").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+    val counts = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("triangles"))
-      .orderBy(col("triangles").desc, col("part"))
+    (deg, counts)
+  }
+
+  /** q156: local clustering coefficient over the support-thresholded
+    * co-purchase graph — per node, the fraction of its neighbor pairs that
+    * are themselves adjacent: `2·T(v) / (d(v)·(d(v)−1))` with T(v) the
+    * node's triangle count and d(v) its degree. The third local-structure
+    * axis after raw triangle participation (q153): a hub in many triangles
+    * can still be loosely knit, and the coefficient is what distinguishes
+    * "sold with everything" parts from genuine bundles.
+    *
+    * Reuses [[trianglesFromPairs]]' degree-ordered wedge enumeration
+    * verbatim (same O(m^1.5) bound, same checkpoint discipline) — only the
+    * finalize differs: full per-node counts joined to degrees instead of a
+    * top-k cut on counts. Nodes with d < 2 have no neighbor pair and are
+    * excluded (the oracle does the same). The ratio of two exact integers
+    * is evaluated in IEEE double and rounded to 6 digits on both engines;
+    * ties cut by part id, so the k-row answer is unique. */
+  def coPurchaseClusteringCoefficient(lineitem: DataFrame,
+      k: Int = PageRankTopK,
+      minSupport: Int = ComponentsMinSupport): DataFrame =
+    clusteringCoefficientFromPairs(
+      pairBase(lineitem).filter(col("n_orders") >= minSupport), k)
+
+  /** [[coPurchaseClusteringCoefficient]] over a pre-thresholded pair base. */
+  def clusteringCoefficientFromPairs(pairs: DataFrame,
+      k: Int = PageRankTopK): DataFrame = {
+    val (deg, counts) = degreesAndTriangleCounts(pairs)
+    deg.filter(col("d") >= 2)
+      .select(col("u").as("part"), col("d"))
+      .join(counts, Seq("part"), "left")
+      .select(col("part"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        // Numerator 2·T stays an exact integer and is cast to double for
+        // ONE division — mirrored literally in the oracle (a bare `2.0`
+        // there would be a DuckDB DECIMAL and change the arithmetic).
+        round((coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+          (col("d") * (col("d") - 1)), 6).as("coefficient"))
+      .orderBy(col("coefficient").desc, col("part"))
       .limit(k)
   }
+
+  /** q156 oracle: the identical degree-ordered enumeration + coefficient
+    * in DuckDB ([[trianglesSql]]'s CTE tree with the coefficient
+    * finalize). */
+  def clusteringCoefficientSql(k: Int = PageRankTopK,
+      minSupport: Int = ComponentsMinSupport): String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+       |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+       |    AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |und AS (SELECT src AS u, dst AS v FROM p UNION ALL SELECT dst, src FROM p),
+       |dg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+       |e AS MATERIALIZED (
+       |  SELECT un.u AS s, un.v AS t FROM und un
+       |  JOIN dg da ON un.u = da.u JOIN dg db ON un.v = db.u
+       |  WHERE da.d < db.d OR (da.d = db.d AND un.u < un.v)),
+       |tri AS (SELECT a.s AS x, a.t AS y, b.t AS z
+       |  FROM e a JOIN e b ON a.t = b.s
+       |  JOIN e c ON c.s = a.s AND c.t = b.t),
+       |pn AS (SELECT x AS part FROM tri UNION ALL SELECT y FROM tri
+       |       UNION ALL SELECT z FROM tri),
+       |tc AS (SELECT part, COUNT(*) AS triangles FROM pn GROUP BY part)
+       |SELECT dg.u AS part, dg.d AS degree,
+       |  coalesce(tc.triangles, 0) AS triangles,
+       |  round(CAST(2 * coalesce(tc.triangles, 0) AS DOUBLE)
+       |      / (dg.d * (dg.d - 1)), 6) AS coefficient
+       |FROM dg LEFT JOIN tc ON dg.u = tc.part
+       |WHERE dg.d >= 2
+       |ORDER BY coefficient DESC, part LIMIT $k""".stripMargin
 
   /** q154: common-neighbor link prediction (Jaccard over neighbor sets)
     * on the thresholded co-purchase graph: for every NON-adjacent pair

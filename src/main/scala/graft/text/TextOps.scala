@@ -547,7 +547,12 @@ object TextOps {
     *    near-dups at Hamming ≤ 3 are in practice near-identical in length,
     *    and the bound makes the heuristic explicit. */
   def simHashNearDups(documents: DataFrame, maxHamming: Int = 3,
-      lengthBucketSize: Int = 64): DataFrame =
+      lengthBucketSize: Int = 64): DataFrame = {
+    // A negative bound is meaningless ("closer than identical") and the two
+    // routes would disagree on it: the band join returns nothing, while the
+    // collapsed route's intra-group expansion emits its hamming-0 copy
+    // pairs unconditionally. Refuse rather than pick a side silently.
+    require(maxHamming >= 0, s"need maxHamming >= 0, got $maxHamming")
     if (duplicationHeavy(documents, Seq("text"))) {
       // CONTENT COLLAPSE (the duplication-aware shape every near-dup
       // operator here uses, probed data-driven): byte-identical copies
@@ -587,6 +592,7 @@ object TextOps {
         simHashWithLen(documents).localCheckpoint(), maxHamming, lengthBucketSize)
         .orderBy("doc_a", "doc_b")
     }
+  }
 
   /** The banded candidate join over a (doc_id, simhash, n_tokens) frame —
     * shared by both [[simHashNearDups]] routes (ids are doc ids on the

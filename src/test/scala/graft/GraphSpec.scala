@@ -224,6 +224,38 @@ class GraphSpec extends SparkSpec {
     assert(Graph.coPurchaseTriangles(li).count() == 0L)
   }
 
+  test("triangles: all-equal degrees exercise the pure id tie-break (K4)") {
+    // Two orders each holding all four parts: every pair co-occurs twice,
+    // every degree is 3 — the orientation filter decides EVERY edge by the
+    // `u < v` tie-break (round-9 verdict attack surface). K4 has 4
+    // triangles; each vertex participates in C(3,2) = 3.
+    val li = (1L to 2L).flatMap(o => (1L to 4L).map(p => (o, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.coPurchaseTriangles(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("clustering coefficient: hand-computed on triangle + pendant; d<2 excluded") {
+    // triangleFixture: triangle 1-2-3 plus pendant edge 1-4. Degrees
+    // 1->3, 2->2, 3->2, 4->1; each triangle node participates once.
+    //   c(1) = 2*1/(3*2) = 0.333333, c(2) = c(3) = 2*1/(2*1) = 1.0,
+    //   node 4 (d=1) has no neighbor pair and is excluded.
+    val got = Graph.coPurchaseClusteringCoefficient(triangleFixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(got == List(
+      (2L, 2L, 1L, 1.0), (3L, 2L, 1L, 1.0), (1L, 3L, 1L, 0.333333)))
+  }
+
+  test("clustering coefficient oracle SQL embeds the engine constants") {
+    val sql = Graph.clusteringCoefficientSql()
+    assert(sql.contains(s"HAVING COUNT(*) >= ${Graph.ComponentsMinSupport}"))
+    assert(sql.contains(s"LIMIT ${Graph.PageRankTopK}"))
+    assert(sql.contains("CAST(2 * coalesce(tc.triangles, 0) AS DOUBLE)"))
+    assert(sql.contains("WHERE dg.d >= 2"))
+  }
+
   test("link prediction refuses an unthresholded run") {
     intercept[IllegalArgumentException] {
       Graph.coPurchaseLinkPrediction(triangleFixture, minSupport = 1)
@@ -267,6 +299,8 @@ class GraphSpec extends SparkSpec {
       Graph.coPurchaseTriangles(li).collect().map(_.toSeq).toSeq)
     assert(Graph.linkPredictionFromPairs(thresholded).collect().map(_.toSeq).toSeq ==
       Graph.coPurchaseLinkPrediction(li).collect().map(_.toSeq).toSeq)
+    assert(Graph.clusteringCoefficientFromPairs(thresholded).collect().map(_.toSeq).toSeq ==
+      Graph.coPurchaseClusteringCoefficient(li).collect().map(_.toSeq).toSeq)
   }
 
   test("graph pin env parses lazily with a clear message on a typo") {
