@@ -144,7 +144,8 @@ object SparkEntry {
     "q149_copurchase_pagerank", "q150_copurchase_components",
     "q151_pagerank_subgraph", "q152_components_subgraph",
     "q153_copurchase_triangles", "q154_link_prediction",
-    "q155_pagerank_converged_subgraph", "q156_clustering_coefficient")
+    "q155_pagerank_converged_subgraph", "q156_clustering_coefficient",
+    "q157_kcore")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -1154,7 +1155,25 @@ object SparkEntry {
     "q156_clustering_coefficient" -> ((s, d) =>
       graft.ops.Graph.clusteringCoefficientFromPairs(
         graft.ops.GraphEdges.pairs(s, d)
-          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))))
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))),
+    // k-core by iterative degree peel on the same thresholded edge set —
+    // the cyclic skeleton under the centrality/clustering queries. The
+    // oracle is the peel unrolled to the KCoreMaxRounds pin (idempotent
+    // past the fixpoint, q155's padding trick on an integer set); the
+    // engine refuses a corpus that does not settle within the pin.
+    "q157_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCoreFromPairs(
+        graft.ops.GraphEdges.pairs(s, d)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))),
+    // Corpus-wide TF-IDF keyword extraction — the query-free dual of q53's
+    // BM25 retrieval: every document labeled with its TfIdfTopK most
+    // corpus-distinctive terms. Exact multiplicity-weighted content
+    // collapse on duplicated corpora (df/N are corpus stats, so the
+    // collapse weights distinct texts by member count — not the
+    // content-pure perDistinctContent path); probe-routed like its text
+    // siblings.
+    "q158_tfidf_keywords" -> ((s, d) =>
+      graft.text.Search.tfIdfTopTerms(Tables.documents(s, d))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2657,6 +2676,8 @@ object SparkEntry {
       iterations = graft.ops.Graph.ConvergedSubgraphIters,
       where = graft.ops.Graph.subgraphWhere),
     "q156_clustering_coefficient" -> graft.ops.Graph.clusteringCoefficientSql(),
+    "q157_kcore" -> graft.ops.Graph.kCoreSql(),
+    "q158_tfidf_keywords" -> graft.text.Search.tfIdfSql(),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

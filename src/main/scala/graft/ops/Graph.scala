@@ -523,6 +523,109 @@ object Graph {
        |WHERE dg.d >= 2
        |ORDER BY coefficient DESC, part LIMIT $k""".stripMargin
 
+  /** The core order of q157: the 2-core (strip pendant trees until every
+    * surviving node keeps >= 2 in-core neighbors). Max degree of the
+    * support-thresholded graph is single-digit at every fixture scale, so
+    * higher cores are near-empty; the 2-core is the cyclic skeleton — the
+    * structure PageRank mass and triangles actually live on. */
+  val KCoreK = 2
+
+  /** The FIXED peel-stage count of q157's oracle unroll — the q155
+    * padding trick on an INTEGER fixpoint: the peel sequence is monotone
+    * shrinking and idempotent at its fixpoint, so a fixed-N stage unroll
+    * is exact for ANY corpus whose peel settles within N stages, and the
+    * engine refuses loudly otherwise. Measured stopping stages: 1 at
+    * sf0.001, 3 at sf0.01, 5 at sf0.1 — and the replicated scale corpora
+    * peel in exactly sf0.1's 5 stages (disjoint key-offset copies peel
+    * independently). 12 is >2x headroom. */
+  val KCoreMaxRounds = 12
+
+  /** q157: k-core decomposition of the support-thresholded co-purchase
+    * graph by iterative degree peel — drop every node whose degree in the
+    * CURRENT induced subgraph is below `k`, recompute, repeat to fixpoint.
+    * Returns the surviving nodes with their in-core degree (>= k by
+    * construction), ordered by part id. Integer-exact end to end.
+    *
+    * Scale shape: each peel round is one node-semi-join on both edge
+    * endpoints plus a keyed count — hash equi-joins on a node list that
+    * only SHRINKS, against an edge list pinned once (the expensive basket
+    * self-join lives in the [[GraphEdges]] artifact, not here). Rounds to
+    * fixpoint are bounded by the peel depth of the graph, not its size:
+    * the replicated scale corpora peel in sf0.1's stage count because the
+    * copies are disjoint. Convergence is detected by node COUNT equality,
+    * which equals set equality because the peel sequence is monotone
+    * shrinking. A corpus that does not settle within `maxRounds` fails
+    * loudly ([[KCoreMaxRounds]]) rather than shipping a non-core. */
+  def kCoreFromPairs(pairs: DataFrame, k: Int = KCoreK,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    require(maxRounds >= 1, s"kCore needs maxRounds >= 1, got $maxRounds")
+    val p = pairs.select(col("src"), col("dst"))
+    val und = p.select(col("src").as("u"), col("dst").as("v"))
+      .union(p.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    // Degree of every node within the subgraph induced by `nodes`: edges
+    // kept iff BOTH endpoints survive (two semi-join legs on the pinned
+    // edge list), then a keyed count.
+    def inducedDeg(nodes: DataFrame): DataFrame =
+      und.join(nodes.select(col("part").as("u")), Seq("u"), "left_semi")
+        .join(nodes.select(col("part").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    var cur = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("u").as("part"))
+      .localCheckpoint(true)
+    var prev = cur.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val next = inducedDeg(cur).filter(col("d") >= k)
+        .select(col("u").as("part")).localCheckpoint(true)
+      val n = next.count()
+      stable = n == prev
+      prev = n
+      cur = next
+      rounds += 1
+    }
+    require(stable,
+      s"kCore: peel not at fixpoint within the $maxRounds-round oracle pin " +
+        "- raise KCoreMaxRounds and regenerate the oracle; a non-fixpoint " +
+        "node set is not a core.")
+    inducedDeg(cur)
+      .select(col("u").as("part"), col("d").as("core_degree"))
+      .orderBy(col("part"))
+  }
+
+  /** q157 oracle: the identical peel unrolled to exactly `rounds` stages
+    * (idempotent past the fixpoint — see [[KCoreMaxRounds]]); the final
+    * select recomputes each survivor's in-core degree. */
+  def kCoreSql(k: Int = KCoreK, rounds: Int = KCoreMaxRounds,
+      minSupport: Int = ComponentsMinSupport): String = {
+    val head =
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+         |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+         |    AND a.l_partkey < b2.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+         |und AS MATERIALIZED (
+         |  SELECT src AS u, dst AS v FROM p UNION ALL SELECT dst, src FROM p),
+         |n0 AS MATERIALIZED (
+         |  SELECT u FROM und GROUP BY u HAVING COUNT(*) >= $k)""".stripMargin
+    val stages = (1 to rounds).map { i =>
+      s""",
+         |n$i AS MATERIALIZED (
+         |  SELECT e.u FROM und e JOIN n${i - 1} a ON e.u = a.u
+         |  JOIN n${i - 1} b2 ON e.v = b2.u
+         |  GROUP BY e.u HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString
+    head + stages +
+      s"""
+         |SELECT e.u AS part, COUNT(*) AS core_degree
+         |FROM und e JOIN n$rounds a ON e.u = a.u JOIN n$rounds b2 ON e.v = b2.u
+         |GROUP BY e.u ORDER BY part""".stripMargin
+  }
+
   /** q154: common-neighbor link prediction (Jaccard over neighbor sets)
     * on the thresholded co-purchase graph: for every NON-adjacent pair
     * with at least one shared neighbor, score |N(a)∩N(b)| / |N(a)∪N(b)|,

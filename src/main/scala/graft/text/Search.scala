@@ -65,6 +65,91 @@ object Search {
       .limit(k)
   }
 
+  /** Terms kept per document by [[tfIdfTopTerms]]. */
+  val TfIdfTopK = 3
+
+  /** q158: corpus-wide TF-IDF keyword extraction — for EVERY document, the
+    * [[TfIdfTopK]] terms with the highest `tf(t,D) · ln(N / df(t))`, ties
+    * cut by term text so the per-document answer is unique. The
+    * query-free dual of [[bm25TopK]]: retrieval scores fixed query terms
+    * against all documents; this labels each document with its most
+    * corpus-distinctive vocabulary (the standard keyword/topic-tagging
+    * pass of a training-data pipeline). Scores stay unrounded through the
+    * rank and are rounded to 6 digits only for presentation — `tf` and
+    * `df` are exact integers and the score is one IEEE multiply of one
+    * IEEE log, so both engines rank identically.
+    *
+    * Scale shape: TF-IDF is NOT content-pure (df and N are corpus
+    * statistics), so it cannot ride [[TextOps.perDistinctContent]] — but
+    * it has an exact multiplicity-weighted collapse: group byte-identical
+    * texts once, count members `m`, compute per-distinct-text tf, take
+    * `df = Σ m` over distinct texts containing the term and `N = Σ m`,
+    * rank per distinct text, and fan the top-k back over an md5-key
+    * equi-join. On the 97%-duplicated scale corpora this shrinks the
+    * explode + window to the distinct corpus; the duplication probe
+    * routes ~unique corpora straight to the direct form, which the
+    * collapse reproduces exactly (same integers, same double ops). */
+  def tfIdfTopTerms(documents: DataFrame, kTerms: Int = TfIdfTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kTerms >= 1, s"tfIdfTopTerms needs kTerms >= 1, got $kTerms")
+    val docs = graft.ops.Partitioning.spread(documents)
+      .select(col("doc_id"), col("text"))
+    val collapse = TextOps.duplicationHeavy(docs, Seq("text"))
+    // (gid-or-doc key, m, text): one row per distinct content when
+    // collapsing, one per document otherwise (m = 1).
+    val units =
+      if (collapse)
+        docs.groupBy(col("text")).agg(count(lit(1)).as("m"))
+          .select(md5(col("text")).as("__g"), col("m"), col("text"))
+      else docs.select(col("doc_id").as("__g"), lit(1L).as("m"), col("text"))
+    val tf = units
+      .select(col("__g"), col("m"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("__g"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("m")).as("m"))
+    val df = tf.groupBy(col("term")).agg(sum(col("m")).as("df"))
+    val corpus = units.agg(sum(col("m")).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__s",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val top = scored
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(desc("__s"), col("term"))))
+      .filter(col("__r") <= kTerms)
+      .select(col("__g"), col("term"), col("tf"),
+        round(col("__s"), 6).as("score"))
+    val perDoc =
+      if (collapse)
+        docs.select(col("doc_id"), md5(col("text")).as("__g"))
+          .join(top, Seq("__g"))
+      else top.withColumnRenamed("__g", "doc_id")
+    perDoc
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** q158 oracle: the direct (uncollapsed) form — what both engine routes
+    * compute. */
+  def tfIdfSql(kTerms: Int = TfIdfTopK): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |rk AS (SELECT doc_id, term, tf, s,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS r
+       |  FROM scored)
+       |SELECT doc_id, term, tf, round(s, 6) AS score FROM rk
+       |WHERE r <= $kTerms ORDER BY doc_id, term""".stripMargin
+
   /** Reciprocal-rank fusion of a lexical (BM25) and a dense (embedding
     * cosine) ranking — the standard hybrid-retrieval combiner:
     * RRF(d) = Σ_r 1/(c + rank_r(d)) over the rankings that contain d.

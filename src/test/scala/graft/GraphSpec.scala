@@ -348,4 +348,46 @@ class GraphSpec extends SparkSpec {
     assert(sql.contains(s"FROM r${Graph.ConvergedSubgraphIters}"))
     assert(sql.contains(s"FROM lineitem ${Graph.subgraphWhere}"))
   }
+
+  test("k-core: triangle survives, pendant chain peels off progressively") {
+    // Triangle {10,20,30} with a pendant chain 30-40-50: full degrees
+    // 2/2/3/2/1. Peel: n0 drops 50; the induced round drops 40 (its only
+    // in-set neighbor is 30); then {10,20,30} is stable with in-core
+    // degree 2 everywhere.
+    val pairs = Seq((10L, 20L), (20L, 30L), (10L, 30L), (30L, 40L), (40L, 50L))
+      .toDF("src", "dst")
+    val core = Graph.kCoreFromPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core == Seq((10L, 2L), (20L, 2L), (30L, 2L)))
+  }
+
+  test("k-core: a pure path peels to the empty core without error") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    assert(Graph.kCoreFromPairs(path).count() == 0L)
+  }
+
+  test("k-core refuses a pin too small for the peel to settle under") {
+    // The 6-node path needs 3 induced rounds (drop {1,6}, drop {2,5},
+    // drop {3,4}) plus the confirming round; maxRounds = 1 cannot see the
+    // fixpoint.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCoreFromPairs(path, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("oracle pin"))
+  }
+
+  test("k-core oracle SQL embeds the engine constants") {
+    val sql = Graph.kCoreSql()
+    assert(sql.contains(s"HAVING COUNT(*) >= ${Graph.KCoreK})"))
+    assert(sql.contains(s"JOIN n${Graph.KCoreMaxRounds} "))
+    assert(sql.contains(s"COUNT(*) >= ${Graph.ComponentsMinSupport})"))
+    // Unrolled stages are idempotent past the fixpoint: stage i consumes
+    // exactly stage i-1, so padding to the pin cannot change the set.
+    (1 to Graph.KCoreMaxRounds).foreach { i =>
+      assert(sql.contains(s"n$i AS MATERIALIZED"), s"missing stage $i")
+    }
+  }
 }

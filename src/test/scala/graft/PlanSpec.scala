@@ -399,6 +399,29 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
+  test("q157 k-core: peel rounds are semi-joins + keyed counts, never a cartesian") {
+    // Each peel round survives in the final plan only as its checkpointed
+    // node list, but the last induced-degree pass (the result itself) must
+    // be two node-semi-join legs on the pinned edge list plus one keyed
+    // count — any nested-loop leg would pair every edge with every node.
+    assertPlan("q157_kcore",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q158 tf-idf: df join keyed by term, corpus stats broadcast, topk windowed") {
+    val p = plan("q158_tfidf_keywords")
+    // tf ⋈ df must be a term-keyed equi-join and the scalar (n_docs) frame
+    // a broadcast — the ONLY nested-loop allowed is that 1-row broadcast
+    // cross (same contract as q53's corpus-stats join). The per-doc top-k
+    // must be a rank window, not a join against per-doc maxima.
+    assert(!p.contains("CartesianProduct"), s"cartesian in tf-idf plan:\n$p")
+    assert(p.contains("Window"), s"per-doc top-k is not a rank window:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"tf-idf: $bnlj nested-loop joins (only the 1-row " +
+      s"corpus-stat broadcasts are allowed):\n$p")
+  }
+
   test("q147 filter funnel: one corpus scan, map-side signals, tiny assembly") {
     val p = plan("q147_filter_funnel")
     // The document scan feeds a partial aggregate directly — no join or

@@ -84,4 +84,74 @@ class SearchSpec extends SparkSpec {
         }
     }
   }
+
+  /** Hand reference for [[Search.tfIdfTopTerms]]: exact same tokenization
+    * (split on single space, drop empties), tf·ln(N/df), top-k per doc by
+    * (score desc, term asc), rounded to 6 for presentation. */
+  private def tfIdfReference(docs: Seq[(Long, String)], k: Int)
+      : Seq[(Long, String, Long, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).toSeq
+    }
+    val n = docs.size.toDouble
+    val df = toks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (t, xs) =>
+          (id, t, xs.size.toLong, xs.size * math.log(n / df(t)))
+        }
+        .sortBy { case (_, t, _, s) => (-s, t) }
+        .take(k)
+        .map { case (id2, t, tf, s) => (id2, t, tf, math.rint(s * 1e6) / 1e6) }
+    }.sortBy { case (id, t, _, _) => (id, t) }
+  }
+
+  test("tf-idf keywords: hand-computed on a unique corpus (probe bypass)") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian banana"),
+      (4L, "elder fig grape honeydew kiwi"))
+      .toDF("doc_id", "text")
+    val out = Search.tfIdfTopTerms(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == tfIdfReference(Seq(
+      1L -> "apple banana apple", 2L -> "apple cherry",
+      3L -> "durian durian banana", 4L -> "elder fig grape honeydew kiwi"), 3))
+    // doc 4 has 5 distinct terms but only TfIdfTopK survive the cut.
+    assert(out.count(_._1 == 4L) == Search.TfIdfTopK)
+  }
+
+  test("tf-idf keywords: multiplicity-weighted collapse equals the direct form") {
+    // 10 byte-identical copies of each text trip the duplication probe, so
+    // this runs the COLLAPSED route: df/N must be weighted by member count
+    // (df(apple)=20 of N=30), and every copy must inherit its content's
+    // top terms. The reference computes the DIRECT (per-document) form —
+    // equality proves the collapse is exact, not approximate.
+    val base = Seq(
+      "apple banana apple", "apple cherry", "durian durian banana")
+    val docs = for {
+      (t, i) <- base.zipWithIndex
+      c <- 0 until 10
+    } yield ((i * 10 + c).toLong, t)
+    val out = Search.tfIdfTopTerms(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == tfIdfReference(docs, 3))
+  }
+
+  test("tf-idf: ubiquitous terms score zero and rank below distinctive ones") {
+    // 'the' appears in every doc: ln(N/df) = ln(1) = 0 regardless of tf.
+    val corpus = Seq(
+      (1L, "the the the rare"),
+      (2L, "the common"),
+      (3L, "the common other"))
+      .toDF("doc_id", "text")
+    val out = Search.tfIdfTopTerms(corpus, kTerms = 1).collect()
+    val top = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "rare" && top(2L) == "common")
+    assert(out.forall(r => r.getString(1) != "the" || r.getDouble(3) == 0.0))
+  }
 }
