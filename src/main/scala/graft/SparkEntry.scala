@@ -145,7 +145,7 @@ object SparkEntry {
     "q151_pagerank_subgraph", "q152_components_subgraph",
     "q153_copurchase_triangles", "q154_link_prediction",
     "q155_pagerank_converged_subgraph", "q156_clustering_coefficient",
-    "q157_kcore")
+    "q157_kcore", "q159_assortativity", "q160_weighted_pagerank_subgraph")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -1173,7 +1173,26 @@ object SparkEntry {
     // content-pure perDistinctContent path); probe-routed like its text
     // siblings.
     "q158_tfidf_keywords" -> ((s, d) =>
-      graft.text.Search.tfIdfTopTerms(Tables.documents(s, d))))
+      graft.text.Search.tfIdfTopTerms(Tables.documents(s, d))),
+    // Degree assortativity — the graph family's one-scalar structural
+    // summary (Pearson correlation of endpoint degrees over the directed
+    // edge list of the thresholded graph): exact integer moment sums, one
+    // mirrored double expression. Full-graph oracle is DuckDB-feasible at
+    // every scale (the thresholded pair base is corpus-shape-sized, like
+    // q153/q154's).
+    "q159_assortativity" -> ((s, d) =>
+      graft.ops.Graph.degreeAssortativityFromPairs(
+        graft.ops.GraphEdges.pairs(s, d)
+          .filter(col("n_orders") >= graft.ops.Graph.ComponentsMinSupport))),
+    // Support-WEIGHTED PageRank on the subgraph: rank splits across
+    // neighbors in proportion to co-purchase strength (c = rank·w/wsum,
+    // both integers off the edge artifact) instead of uniformly. Same
+    // sliced-fold float contract as q149/q151/q155, so the oracle is the
+    // identical unroll with the weighted contribution — subgraph-restricted
+    // like its siblings so the unrolled SQL stays feasible at sf10.
+    "q160_weighted_pagerank_subgraph" -> ((s, d) =>
+      graft.ops.Graph.weightedPageRankFromPairs(
+        graft.ops.GraphEdges.pairs(s, d, subgraph = true))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */
@@ -2678,6 +2697,9 @@ object SparkEntry {
     "q156_clustering_coefficient" -> graft.ops.Graph.clusteringCoefficientSql(),
     "q157_kcore" -> graft.ops.Graph.kCoreSql(),
     "q158_tfidf_keywords" -> graft.text.Search.tfIdfSql(),
+    "q159_assortativity" -> graft.ops.Graph.assortativitySql(),
+    "q160_weighted_pagerank_subgraph" ->
+      graft.ops.Graph.weightedPageRankSql(where = graft.ops.Graph.subgraphWhere),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

@@ -160,6 +160,16 @@ object Graph {
     val contribs = edgesDeg
       .join(ranks.withColumnRenamed("part", "src"), Seq("src"))
       .select(col("dst"), col("src"), (col("rank") / col("outdeg")).as("c"))
+    foldContribs(contribs, n, damping)
+  }
+
+  /** The two-level sliced fold + damping finalize shared by the uniform
+    * ([[step]]) and weighted ([[stepWeighted]]) iterations: per-slice
+    * src-ordered folds inside `src % FoldSlices` buckets, then a
+    * slice-ordered fold across buckets — the exact reassociation the
+    * generated oracle SQL mirrors. `contribs` must be (dst, src, c). */
+  private def foldContribs(contribs: DataFrame, n: Long,
+      damping: Double): DataFrame = {
     val sliceSums = contribs
       .groupBy(col("dst"), pmod(col("src"), lit(FoldSlices.toLong)).as("__sl"))
       .agg(aggregate(
@@ -220,6 +230,89 @@ object Graph {
         .localCheckpoint(true)
     } finally edgesDeg.unpersist(false)
   }
+
+  // -------------------------------------------------------------------
+  // q160: support-weighted PageRank.
+  // -------------------------------------------------------------------
+
+  /** The weighted analog of [[edgeStack]]: symmetrized pairs KEEPING the
+    * co-purchase support as the edge weight `w`, annotated with each
+    * source's total outgoing weight `wsum` (the weighted out-degree), and
+    * pinned exactly like the uniform stack (same [[edgePin]], same
+    * caller-must-unpersist contract). */
+  private def weightedEdgeStack(pairs: DataFrame): (DataFrame, Long) = {
+    val p = pairs.select(col("src"), col("dst"), col("n_orders").as("w"))
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val ws = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val edgesW = edges.join(ws, Seq("src")).persist(edgePin)
+    val n = edgesW.select(countDistinct(col("src"))).first().getLong(0)
+    (edgesW, n)
+  }
+
+  /** One WEIGHTED iteration: a node splits its rank across neighbors in
+    * proportion to edge weight — `c = rank · w / wsum` instead of
+    * `rank / outdeg` (both `w` and `wsum` exact integers, so the
+    * contribution is one long-promoting multiply and one divide, mirrored
+    * operator-for-operator in [[weightedPageRankSql]]). The fold is the
+    * shared [[foldContribs]]. */
+  private def stepWeighted(edgesW: DataFrame, ranks: DataFrame, n: Long,
+      damping: Double): DataFrame = {
+    val contribs = edgesW
+      .join(ranks.withColumnRenamed("part", "src"), Seq("src"))
+      .select(col("dst"), col("src"),
+        (col("rank") * col("w") / col("wsum")).as("c"))
+    foldContribs(contribs, n, damping)
+  }
+
+  /** q160: PageRank with co-purchase support as edge weight — rank flows
+    * along STRONG affinities instead of splitting uniformly, so a part
+    * with one heavily-co-sold partner routes its mass there rather than
+    * diluting it across incidental pairings. The variant every production
+    * link-analysis engine ships next to the uniform walk (the transition
+    * matrix is row-normalized edge weight), and the co-purchase graph is
+    * where it differs visibly: `n_orders` spans two orders of magnitude
+    * while uniform PageRank treats a 50-order bundle like a one-off.
+    *
+    * Same iteration discipline as [[pageRankFromPairs]] — pinned
+    * edge+weight stack released in the `finally`, checkpoint cadence,
+    * eager ≤k-row finalize — and the same sliced-fold float contract, so
+    * the oracle is the identical unroll with `w/wsum` in place of
+    * `1/outdeg` ([[weightedPageRankSql]]). Weights ride the edge artifact
+    * (`n_orders` is a column of [[GraphEdges.pairs]]), so the weighted
+    * mode costs no extra base pass. */
+  def weightedPageRankFromPairs(pairs: DataFrame,
+      iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    val (edgesW, n) = weightedEdgeStack(pairs)
+    try {
+      var ranks = initialRanks(edgesW, n)
+      var sinceCheckpoint = 0
+      for (i <- 1 to iterations) {
+        ranks = stepWeighted(edgesW, ranks, n, damping)
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointEvery && i < iterations) {
+          ranks = ranks.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
+      }
+      ranks
+        .select(col("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part"))
+        .limit(k)
+        .localCheckpoint(true)
+    } finally edgesW.unpersist(false)
+  }
+
+  /** [[weightedPageRankFromPairs]] from raw lineitem (tests, arbitrary
+    * frames). */
+  def coPurchaseWeightedPageRank(lineitem: DataFrame,
+      iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK): DataFrame =
+    weightedPageRankFromPairs(pairBase(lineitem), iterations, damping, k)
 
   /** PageRank run to CONVERGENCE: iterate until `max |Δrank| < eps` or
     * `maxIterations`, whichever first — the shape a real centrality run
@@ -907,6 +1000,144 @@ object Graph {
          |SELECT part, round(rank, 6) AS rank FROM r$iterations
          |ORDER BY rank DESC, part LIMIT $k""".stripMargin
   }
+
+  /** The q160 DuckDB oracle: [[pageRankSql]]'s unroll with support-weighted
+    * contributions — `p` keeps the pair's order count as `w`, `ws` is the
+    * weighted out-degree, and each contribution is `r.rank * e.w / ws.wsum`
+    * (DOUBLE·BIGINT then ÷BIGINT — the same promotions Spark performs).
+    * Slicing, fold order, damping finalize, and the rounded cut are
+    * byte-for-byte [[pageRankSql]]'s. */
+  def weightedPageRankSql(iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK,
+      where: String = ""): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val head =
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem $where),
+         |p AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b2.l_partkey AS dst, COUNT(*) AS w
+         |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+         |    AND a.l_partkey < b2.l_partkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
+         |ws AS MATERIALIZED (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM ws),
+         |r0 AS (SELECT ws.src AS part, CAST(1 AS DOUBLE) / nn.n AS rank
+         |       FROM ws CROSS JOIN nn)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT e.dst, e.src, e.src % $FoldSlices AS sl,
+         |    r.rank * e.w / ws.wsum AS c
+         |  FROM e JOIN r${i - 1} r ON e.src = r.part JOIN ws ON e.src = ws.src),
+         |s$i AS MATERIALIZED (
+         |  SELECT dst, sl, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS ss
+         |  FROM c$i GROUP BY dst, sl),
+         |r$i AS MATERIALIZED (
+         |  SELECT s$i.dst AS part,
+         |    (CAST(1 AS DOUBLE) - $d) / nn.n
+         |      + $d * list_reduce(list(ss ORDER BY sl), (a, b) -> a + b) AS rank
+         |  FROM s$i CROSS JOIN nn GROUP BY s$i.dst, nn.n)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+         |SELECT part, round(rank, 6) AS rank FROM r$iterations
+         |ORDER BY rank DESC, part LIMIT $k""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q159: degree assortativity.
+  // -------------------------------------------------------------------
+
+  /** q159: degree assortativity of the support-thresholded co-purchase
+    * graph — the Pearson correlation of endpoint degrees over the DIRECTED
+    * edge list (each undirected edge contributes both orientations: the
+    * standard undirected estimator). One scalar answers "do
+    * well-connected parts co-sell with each other or with accessories?":
+    * positive = hubs pair with hubs, negative = hub–leaf structure.
+    *
+    * All five moment sums are EXACT integers (degrees are counts; the
+    * thresholded graph's degrees are corpus-shape, not corpus-size, so the
+    * sums sit far inside long range at every bench scale); the coefficient
+    * is then ONE double expression over those integers, rounded to 6
+    * digits on both engines, with a NULLIF guard so the degenerate
+    * regular graph (zero degree variance) yields NULL rather than an
+    * engine-dependent NaN.
+    *
+    * Scale shape: two hash equi-joins (degree lookups — the degree table
+    * is nodes-sized and broadcastable) and one global aggregate over the
+    * edge artifact. A single scan; nothing quadratic anywhere. */
+  def degreeAssortativityFromPairs(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("src"), col("dst"))
+    val und = p.select(col("src").as("u"), col("dst").as("v"))
+      .union(p.select(col("dst").as("u"), col("src").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val xy = und
+      .join(deg.select(col("u").as("__au"), col("d").as("x")),
+        col("u") === col("__au"))
+      .join(deg.select(col("u").as("__bu"), col("d").as("y")),
+        col("v") === col("__bu"))
+    val stats = xy.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val md = col("m").cast("double")
+    val num = md * col("sxy") - col("sx").cast("double") * col("sy")
+    // greatest(·, 0) mirror-guards both variance terms: they are ≥ 0 by
+    // Cauchy–Schwarz over exact integers, but once the products exceed
+    // 2^53 the two roundings could differ and a true zero could land
+    // epsilon-negative — where DuckDB's sqrt ERRORS rather than NaNs.
+    val den =
+      sqrt(greatest(md * col("sxx") - col("sx").cast("double") * col("sx"),
+        lit(0.0))) *
+      sqrt(greatest(md * col("syy") - col("sy").cast("double") * col("sy"),
+        lit(0.0)))
+    stats.select(
+      col("m").as("edges_directed"),
+      round(num / when(den === 0.0, lit(null)).otherwise(den), 6)
+        .as("assortativity"))
+  }
+
+  /** [[degreeAssortativityFromPairs]] from raw lineitem. */
+  def coPurchaseAssortativity(lineitem: DataFrame,
+      minSupport: Int = ComponentsMinSupport): DataFrame =
+    degreeAssortativityFromPairs(
+      pairBase(lineitem).filter(col("n_orders") >= minSupport))
+
+  /** q159 oracle: identical moment sums (CAST to BIGINT — DuckDB's
+    * SUM(BIGINT) is HUGEINT) and the identical one-expression coefficient. */
+  def assortativitySql(minSupport: Int = ComponentsMinSupport): String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+       |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+       |    AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM p UNION ALL SELECT dst, src FROM p),
+       |dg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+       |st AS (
+       |  SELECT COUNT(*) AS m,
+       |    CAST(SUM(da.d) AS BIGINT) AS sx, CAST(SUM(db.d) AS BIGINT) AS sy,
+       |    CAST(SUM(da.d * db.d) AS BIGINT) AS sxy,
+       |    CAST(SUM(da.d * da.d) AS BIGINT) AS sxx,
+       |    CAST(SUM(db.d * db.d) AS BIGINT) AS syy
+       |  FROM und e JOIN dg da ON e.u = da.u JOIN dg db ON e.v = db.u)
+       |SELECT m AS edges_directed,
+       |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / NULLIF(
+       |        sqrt(greatest(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx,
+       |                      CAST(0 AS DOUBLE)))
+       |      * sqrt(greatest(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy,
+       |                      CAST(0 AS DOUBLE))), 0),
+       |    6) AS assortativity
+       |FROM st""".stripMargin
 }
 
 /** The persisted per-corpus co-purchase edge artifact: [[Graph.pairBase]]

@@ -390,4 +390,83 @@ class GraphSpec extends SparkSpec {
       assert(sql.contains(s"n$i AS MATERIALIZED"), s"missing stage $i")
     }
   }
+
+  test("assortativity: star is -1, path is -0.5, regular graph is NULL") {
+    def coeff(pairs: Seq[(Long, Long)]): Option[Double] = {
+      val row = Graph.degreeAssortativityFromPairs(
+        pairs.toDF("src", "dst")).collect().head
+      if (row.isNullAt(1)) None else Some(row.getDouble(1))
+    }
+    // Star K1,3: every edge joins the deg-3 hub to a deg-1 leaf — perfect
+    // disassortativity. Directed sums: m=6, sx=sy=12, sxy=18, sxx=syy=30
+    // -> (108-144) / (6*6) = -1.
+    assert(coeff(Seq((10L, 20L), (10L, 30L), (10L, 40L))).contains(-1.0))
+    // Path P4 (degrees 1,2,2,1): m=6, sx=10, sxy=16, sxx=18
+    // -> (96-100) / (sqrt(8)*sqrt(8)) = -0.5.
+    assert(coeff(Seq((1L, 2L), (2L, 3L), (3L, 4L))).contains(-0.5))
+    // Triangle K3 is 2-regular: zero degree variance, the coefficient is
+    // undefined -> NULL (the NULLIF guard), never NaN or a sqrt error.
+    assert(coeff(Seq((1L, 2L), (1L, 3L), (2L, 3L))).isEmpty)
+  }
+
+  test("weighted pagerank: all-equal unit weights reduce to the uniform walk") {
+    // With every w = 1, c = rank*1/wsum and wsum = outdeg, and the
+    // multiply by exactly 1.0 is an IEEE identity — so the weighted mode
+    // must reproduce the uniform mode BIT-identically, fold order and all.
+    val pairs = Seq((10L, 20L, 1L), (20L, 30L, 1L), (10L, 30L, 1L))
+      .toDF("src", "dst", "n_orders")
+    val uniform = Graph.pageRankFromPairs(pairs).collect().map(_.toSeq).toSeq
+    val weighted = Graph.weightedPageRankFromPairs(pairs)
+      .collect().map(_.toSeq).toSeq
+    assert(uniform == weighted)
+  }
+
+  test("weighted pagerank: weight skew reroutes rank mass (hand-computed)") {
+    // Path A(1)-B(2)-C(3), edge AB weight 9, BC weight 1. After one
+    // iteration: B routes 0.9 of its mass to A and 0.1 to C, so A must
+    // outrank C (uniform PageRank ties them by symmetry):
+    //   r(A) = 0.05 + 0.85*(1/3 * 9/10) = 0.305
+    //   r(B) = 0.05 + 0.85*(1/3 + 1/3)  = 0.616667 (leaves route all mass in)
+    //   r(C) = 0.05 + 0.85*(1/3 * 1/10) = 0.078333
+    val pairs = Seq((1L, 2L, 9L), (2L, 3L, 1L)).toDF("src", "dst", "n_orders")
+    val got = Graph.weightedPageRankFromPairs(pairs, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(math.abs(got(0)._2 - 0.616667) < 1e-6)
+    assert(math.abs(got(1)._2 - 0.305) < 1e-6)
+    assert(math.abs(got(2)._2 - 0.078333) < 1e-6)
+  }
+
+  test("weighted pagerank releases the edge pin (no CacheManager residue)") {
+    val pairs = Seq((1L, 2L, 9L), (2L, 3L, 1L)).toDF("src", "dst", "n_orders")
+    Graph.weightedPageRankFromPairs(pairs).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "weighted mode leaked the edge pin")
+  }
+
+  test("weighted pagerank oracle SQL mirrors the weighted contribution") {
+    val sql = Graph.weightedPageRankSql()
+    // The weighted contribution replaces 1/outdeg; everything else must
+    // stay byte-for-byte the q149 unroll (slices, fold order, damping).
+    assert(sql.contains("r.rank * e.w / ws.wsum AS c"))
+    assert(sql.contains("COUNT(*) AS w"))
+    assert(sql.contains(s"% ${Graph.FoldSlices} AS sl"))
+    assert(sql.contains("ORDER BY sl"))
+    assert(sql.contains(s"CAST(${Graph.PageRankDamping} AS DOUBLE)"))
+    assert(sql.contains(s"LIMIT ${Graph.PageRankTopK}"))
+    // Subgraph form restricts the lineitem scan like its q151/q155 siblings.
+    assert(Graph.weightedPageRankSql(where = Graph.subgraphWhere)
+      .contains(s"FROM lineitem ${Graph.subgraphWhere}"))
+  }
+
+  test("assortativity oracle SQL mirrors the one-expression coefficient") {
+    val sql = Graph.assortativitySql()
+    assert(sql.contains(s"HAVING COUNT(*) >= ${Graph.ComponentsMinSupport}"))
+    // Exact integer moments, BIGINT-pinned (DuckDB SUM(BIGINT) is HUGEINT).
+    assert(sql.contains("CAST(SUM(da.d * db.d) AS BIGINT) AS sxy"))
+    // The NULLIF + greatest guards must be present: a regular graph is
+    // NULL on both engines, never a NaN or a DuckDB sqrt range error.
+    assert(sql.contains("NULLIF("))
+    assert(sql.contains("greatest(CAST(m AS DOUBLE) * sxx"))
+  }
 }

@@ -432,4 +432,22 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"funnel reads the corpus $scans times:\n$p")
     assert(p.contains("HashAggregate"), s"no partial aggregation:\n$p")
   }
+
+  test("q159 assortativity: degree lookups are equi-joins into one aggregate") {
+    // Two degree-lookup joins on the artifact plus one global moment
+    // aggregate — nothing quadratic, nothing nested-loop (the single-row
+    // final projection is driver-bound by construction).
+    assertPlan("q159_assortativity",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
+  test("q160 weighted pagerank: every iteration joins hash-keyed, never a cartesian") {
+    // Same contract as q149: edges ⋈ ranks stays an equi-join on src and
+    // both fold levels are keyed aggregations; the weight columns ride the
+    // artifact scan, adding no extra join legs.
+    assertPlan("q160_weighted_pagerank_subgraph",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
 }
