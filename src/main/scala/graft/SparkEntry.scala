@@ -145,7 +145,8 @@ object SparkEntry {
     "q151_pagerank_subgraph", "q152_components_subgraph",
     "q153_copurchase_triangles", "q154_link_prediction",
     "q155_pagerank_converged_subgraph", "q156_clustering_coefficient",
-    "q157_kcore", "q159_assortativity", "q160_weighted_pagerank_subgraph")
+    "q157_kcore", "q159_assortativity", "q160_weighted_pagerank_subgraph",
+    "q161_ppr_subgraph")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -1192,6 +1193,14 @@ object SparkEntry {
     // like its siblings so the unrolled SQL stays feasible at sf10.
     "q160_weighted_pagerank_subgraph" -> ((s, d) =>
       graft.ops.Graph.weightedPageRankFromPairs(
+        graft.ops.GraphEdges.pairs(s, d, subgraph = true))),
+    // Personalized PageRank (random walk with restart) around a
+    // DATA-DERIVED seed (the subgraph's smallest part id — both engines
+    // compute MIN over the symmetrized edges, so the oracle stays static
+    // at every scale): the "parts related to THIS part" recommendation
+    // kernel. Same sliced-fold contract; only the teleport term differs.
+    "q161_ppr_subgraph" -> ((s, d) =>
+      graft.ops.Graph.personalizedPageRankFromPairs(
         graft.ops.GraphEdges.pairs(s, d, subgraph = true))))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
@@ -2700,6 +2709,8 @@ object SparkEntry {
     "q159_assortativity" -> graft.ops.Graph.assortativitySql(),
     "q160_weighted_pagerank_subgraph" ->
       graft.ops.Graph.weightedPageRankSql(where = graft.ops.Graph.subgraphWhere),
+    "q161_ppr_subgraph" ->
+      graft.ops.Graph.personalizedPageRankSql(where = graft.ops.Graph.subgraphWhere),
     "q147_filter_funnel" ->
       """WITH f AS (SELECT lang, text, string_split(text, ' ') AS w,
         |    len(text) AS nc FROM documents),

@@ -164,12 +164,19 @@ object Graph {
   }
 
   /** The two-level sliced fold + damping finalize shared by the uniform
-    * ([[step]]) and weighted ([[stepWeighted]]) iterations: per-slice
-    * src-ordered folds inside `src % FoldSlices` buckets, then a
-    * slice-ordered fold across buckets — the exact reassociation the
-    * generated oracle SQL mirrors. `contribs` must be (dst, src, c). */
+    * ([[step]]), weighted ([[stepWeighted]]), and personalized
+    * ([[stepPersonalized]]) iterations: per-slice src-ordered folds inside
+    * `src % FoldSlices` buckets, then a slice-ordered fold across buckets —
+    * the exact reassociation the generated oracle SQL mirrors. `contribs`
+    * must be (dst, src, c); `teleport(dst)` is the per-part restart term
+    * ((1−d)/n uniform, (1−d)·[dst = seed] personalized). */
   private def foldContribs(contribs: DataFrame, n: Long,
-      damping: Double): DataFrame = {
+      damping: Double): DataFrame =
+    foldContribsWith(contribs, damping,
+      lit(1.0 - damping) / lit(n.toDouble))
+
+  private def foldContribsWith(contribs: DataFrame, damping: Double,
+      teleport: Column): DataFrame = {
     val sliceSums = contribs
       .groupBy(col("dst"), pmod(col("src"), lit(FoldSlices.toLong)).as("__sl"))
       .agg(aggregate(
@@ -180,8 +187,7 @@ object Graph {
         array_sort(collect_list(struct(col("__sl"), col("__ss")))),
         lit(0.0), (acc, x) => acc + x.getField("__ss")).as("__s"))
       .select(col("dst").as("part"),
-        (lit(1.0 - damping) / lit(n.toDouble) +
-          lit(damping) * col("__s")).as("rank"))
+        (teleport + lit(damping) * col("__s")).as("rank"))
   }
 
   private def initialRanks(edgesDeg: DataFrame, n: Long): DataFrame =
@@ -313,6 +319,73 @@ object Graph {
       damping: Double = PageRankDamping,
       k: Int = PageRankTopK): DataFrame =
     weightedPageRankFromPairs(pairBase(lineitem), iterations, damping, k)
+
+  // -------------------------------------------------------------------
+  // q161: personalized PageRank (random walk with restart).
+  // -------------------------------------------------------------------
+
+  /** One PERSONALIZED iteration: the restart mass (1−d) returns to the
+    * SEED part alone instead of spreading uniformly — the random-walk-
+    * with-restart kernel behind "parts related to THIS part"
+    * recommendations. Contributions and the fold are [[step]]'s exactly;
+    * only the teleport term differs, and (1−d) is COMPUTED (1 − d in IEEE,
+    * matching the oracle's `CAST(1 AS DOUBLE) − d`), never a decimal
+    * literal. */
+  private def stepPersonalized(edgesDeg: DataFrame, ranks: DataFrame,
+      seed: Long, damping: Double): DataFrame = {
+    val contribs = edgesDeg
+      .join(ranks.withColumnRenamed("part", "src"), Seq("src"))
+      .select(col("dst"), col("src"), (col("rank") / col("outdeg")).as("c"))
+    foldContribsWith(contribs, damping,
+      when(col("dst") === lit(seed), lit(1.0) - lit(damping))
+        .otherwise(lit(0.0)))
+  }
+
+  /** q161: personalized PageRank around the subgraph's SMALLEST part id —
+    * a deterministic seed both engines compute from the data itself
+    * (`MIN(src)` over the symmetrized edge list), so the oracle SQL stays
+    * static at every scale and no fixture id is baked in. Walk mass
+    * concentrates in the seed's co-purchase neighborhood; parts outside
+    * its component decay to exactly d^iters·(1/n)-shaped residue of the
+    * uniform start, so the top-k IS the seed's neighborhood ranked by
+    * proximity. Same iteration discipline (pinned edge stack released in
+    * `finally`, checkpoint cadence, eager ≤k finalize) and the same
+    * sliced-fold float contract as every other mode. */
+  def personalizedPageRankFromPairs(pairs: DataFrame,
+      iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    val (edgesDeg, n) = edgeStack(pairs)
+    try {
+      // Bounded driver scalar, like n: the seed is data-derived so the
+      // generated oracle (which computes its own MIN) can never drift
+      // from a hand-picked fixture id.
+      val seed = edgesDeg.select(min(col("src"))).first().getLong(0)
+      var ranks = initialRanks(edgesDeg, n)
+      var sinceCheckpoint = 0
+      for (i <- 1 to iterations) {
+        ranks = stepPersonalized(edgesDeg, ranks, seed, damping)
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointEvery && i < iterations) {
+          ranks = ranks.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
+      }
+      ranks
+        .select(col("part"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("rank").desc, col("part"))
+        .limit(k)
+        .localCheckpoint(true)
+    } finally edgesDeg.unpersist(false)
+  }
+
+  /** [[personalizedPageRankFromPairs]] from raw lineitem. */
+  def coPurchasePersonalizedPageRank(lineitem: DataFrame,
+      iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK): DataFrame =
+    personalizedPageRankFromPairs(pairBase(lineitem), iterations, damping, k)
 
   /** PageRank run to CONVERGENCE: iterate until `max |Δrank| < eps` or
     * `maxIterations`, whichever first — the shape a real centrality run
@@ -998,6 +1071,57 @@ object Graph {
     head + iters +
       s"""
          |SELECT part, round(rank, 6) AS rank FROM r$iterations
+         |ORDER BY rank DESC, part LIMIT $k""".stripMargin
+  }
+
+  /** The q161 DuckDB oracle: [[pageRankSql]]'s unroll with the restart
+    * mass returned to the data-derived seed (`MIN(src)` over the
+    * symmetrized edge list — the same scalar the engine computes) instead
+    * of spread uniformly. The teleport is `CAST(1 AS DOUBLE) − d` AT the
+    * seed and `CAST(0 AS DOUBLE)` elsewhere — the engine constant-folds
+    * the identical 1−d — and the final rank rounds to 9 digits (the
+    * off-neighborhood residue is d^iters/n-sized; 6 digits would flatten
+    * it to ties, which both engines would still order identically, but 9
+    * keeps the output informative). */
+  def personalizedPageRankSql(iterations: Int = PageRankIterations,
+      damping: Double = PageRankDamping,
+      k: Int = PageRankTopK,
+      where: String = ""): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val head =
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem $where),
+         |p AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b2.l_partkey AS dst
+         |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+         |    AND a.l_partkey < b2.l_partkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |dg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM dg),
+         |sd AS (SELECT MIN(src) AS seed FROM e),
+         |r0 AS (SELECT dg.src AS part, CAST(1 AS DOUBLE) / nn.n AS rank
+         |       FROM dg CROSS JOIN nn)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT e.dst, e.src, e.src % $FoldSlices AS sl,
+         |    r.rank / dg.outdeg AS c
+         |  FROM e JOIN r${i - 1} r ON e.src = r.part JOIN dg ON e.src = dg.src),
+         |s$i AS MATERIALIZED (
+         |  SELECT dst, sl, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS ss
+         |  FROM c$i GROUP BY dst, sl),
+         |r$i AS MATERIALIZED (
+         |  SELECT s$i.dst AS part,
+         |    (CASE WHEN s$i.dst = sd.seed THEN CAST(1 AS DOUBLE) - $d
+         |          ELSE CAST(0 AS DOUBLE) END)
+         |      + $d * list_reduce(list(ss ORDER BY sl), (a, b) -> a + b) AS rank
+         |  FROM s$i CROSS JOIN sd GROUP BY s$i.dst, sd.seed)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+         |SELECT part, round(rank, 9) AS rank FROM r$iterations
          |ORDER BY rank DESC, part LIMIT $k""".stripMargin
   }
 

@@ -459,6 +459,35 @@ class GraphSpec extends SparkSpec {
       .contains(s"FROM lineitem ${Graph.subgraphWhere}"))
   }
 
+  test("personalized pagerank: restart mass returns to the seed only (hand-computed)") {
+    // Path 10-20-30, seed = MIN = 10, one iteration from uniform r0 = 1/3:
+    //   r(10) = (1-0.85) + 0.85*((1/3)/2) = 0.291667  (teleport + from 20)
+    //   r(20) = 0        + 0.85*(1/3 + 1/3) = 0.566667
+    //   r(30) = 0        + 0.85*((1/3)/2) = 0.141667
+    // Mass conserved: teleport returns exactly the (1-d) the walk leaks.
+    val got = Graph.coPurchasePersonalizedPageRank(lineitem, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 30L))
+    assert(math.abs(got(0)._2 - (0.85 * 2.0 / 3)) < 1e-8)
+    assert(math.abs(got(1)._2 - (0.15 + 0.85 / 6)) < 1e-8)
+    assert(math.abs(got(2)._2 - (0.85 / 6)) < 1e-8)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-8)
+    assert(spark.sharedState.cacheManager.isEmpty, "ppr leaked the edge pin")
+  }
+
+  test("personalized pagerank oracle SQL computes the seed from the data") {
+    val sql = Graph.personalizedPageRankSql()
+    // The seed is MIN over the SYMMETRIZED edge list on both engines —
+    // no fixture id baked into either side.
+    assert(sql.contains("sd AS (SELECT MIN(src) AS seed FROM e)"))
+    assert(sql.contains(s"CASE WHEN s${Graph.PageRankIterations}.dst = sd.seed"))
+    assert(sql.contains(s"CAST(1 AS DOUBLE) - CAST(${Graph.PageRankDamping} AS DOUBLE)"))
+    assert(sql.contains("round(rank, 9)"))
+    assert(sql.contains(s"% ${Graph.FoldSlices} AS sl"))
+    assert(Graph.personalizedPageRankSql(where = Graph.subgraphWhere)
+      .contains(s"FROM lineitem ${Graph.subgraphWhere}"))
+  }
+
   test("assortativity oracle SQL mirrors the one-expression coefficient") {
     val sql = Graph.assortativitySql()
     assert(sql.contains(s"HAVING COUNT(*) >= ${Graph.ComponentsMinSupport}"))

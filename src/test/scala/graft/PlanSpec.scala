@@ -442,6 +442,12 @@ class PlanSpec extends SparkSpec {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
 
+  test("q161 personalized pagerank: every iteration joins hash-keyed, never a cartesian") {
+    assertPlan("q161_ppr_subgraph",
+      mustContain = Seq.empty,
+      mustNot = Seq("CartesianProduct"))
+  }
+
   test("q160 weighted pagerank: every iteration joins hash-keyed, never a cartesian") {
     // Same contract as q149: edges ⋈ ranks stays an equi-join on src and
     // both fold levels are keyed aggregations; the weight columns ride the
