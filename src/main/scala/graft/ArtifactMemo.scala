@@ -23,10 +23,23 @@ import scala.collection.concurrent.TrieMap
   * once per corpus, and every later run LOADS it. Staleness is governed by
   * the caller-supplied fingerprint (file listing + sizes + mtimes of the
   * source): an overwritten corpus rebuilds under the same key.
+  *
+  * '''Generation versioning (round-10 ask #4).''' Paths embed the
+  * FINGERPRINT hash as well as the key hash, so a staleness rebuild
+  * writes a NEW directory instead of wiping the one a still-running
+  * stream may be lazily reading (the round-10 residual: same-corpus
+  * overwrite mid-stream). The memo pointer swaps only after the build
+  * completes; the superseded generation is kept on disk until the NEXT
+  * staleness event for that key reclaims it — the q144
+  * alternating-generations discipline. A reader therefore survives one
+  * rebuild of its corpus; only a second rebuild mid-read (two corpus
+  * rewrites inside one micro-batch's lifetime) can pull its files, and
+  * disk growth stays bounded at two generations per key.
   */
 final class ArtifactMemo(prefix: String) {
 
   private val memo = TrieMap.empty[String, (String, String)]
+  private val superseded = TrieMap.empty[String, String]
   private val locks = TrieMap.empty[String, Object]
 
   private def md5hex(s: String): String = {
@@ -47,9 +60,20 @@ final class ArtifactMemo(prefix: String) {
         lock.synchronized {
           memo.get(key) match {
             case Some((fp, path)) if fp == fingerprint => path
-            case _ =>
-              val path = WorkDirs.fresh(s"${prefix}_${md5hex(key)}")
+            case prev =>
+              // Reclaim the generation TWO rebuilds back first: the one
+              // being superseded NOW must survive this build so a live
+              // lazy reader over it can finish (object doc).
+              superseded.remove(key).foreach { old =>
+                try WorkDirs.drop(old)
+                catch { case _: IllegalArgumentException => () }
+              }
+              val path = WorkDirs.fresh(
+                s"${prefix}_${md5hex(key)}_${md5hex(fingerprint).take(8)}")
               build(path)
+              prev.foreach { case (_, old) if old != path =>
+                superseded.put(key, old)
+              case _ => () }
               memo.put(key, (fingerprint, path))
               path
           }

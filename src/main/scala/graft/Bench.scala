@@ -36,6 +36,49 @@ object Bench {
       case None => SparkEntry.queries
     }
 
+    // Box-calibration probe (round-10 ask #1): two FIXED synthetic
+    // microbenchmarks, identical on every box and every scale factor, so
+    // cross-round absolute walls can be normalized by measured box speed
+    // instead of settled by ad-hoc same-box A/Bs (the round-10 q149 sf10
+    // 2x2). `shuffle_sec` exercises the CPU+shuffle path (seeded hash →
+    // 1M-key groupBy+agg → sort); `io_sec` the storage stack (write a
+    // ~256 MB parquet, read it fully back — page cache included, which is
+    // the stack the bench queries themselves see). Best-of-2 each, run
+    // BEFORE pass 1 on the already-warmed JVM; recorded in every sidecar
+    // as `box_calibration` and surfaced by tools/scaling_report.py.
+    def calibrate(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      def timeIt(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def shuffleOnce(): Double = timeIt {
+        spark.range(0L, 32L * 1000 * 1000, 1L, 32)
+          .select((col("id") * lit(2862933555777941757L) + lit(3037000493L)).as("h"))
+          .groupBy(pmod(col("h"), lit(1000000L)).as("k"))
+          .agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
+          .orderBy(col("k"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      def ioOnce(): Double = {
+        val dir = WorkDirs.fresh("box_probe")
+        val dt = timeIt {
+          spark.range(0L, 16L * 1000 * 1000, 1L, 32)
+            .select(col("id"), (col("id") * lit(0.5)).as("d"),
+              concat(lit("payload_"), col("id").cast("string")).as("s"))
+            .write.mode("overwrite").parquet(dir)
+          spark.read.parquet(dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        WorkDirs.drop(dir)
+        dt
+      }
+      val sh = math.min(shuffleOnce(), shuffleOnce())
+      val io = math.min(ioOnce(), ioOnce())
+      System.err.println(f"[bench] box calibration: shuffle $sh%.2f s, io $io%.2f s")
+      (sh, io)
+    }
+    val (calShuffle, calIo) = calibrate()
+
     // Hypervisor steal time (jiffies, USER_HZ=100): the direct evidence of
     // co-tenant contention. Sampled around every timed run — wall time
     // stretched by stolen CPU is a property of the machine, not the plan.
@@ -181,7 +224,7 @@ object Bench {
         "\"" + k + "\":" + ss.count(_.tainted)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","engine_total":$engineTotal,"ml_total":$mlTotal,"queries":$qs,"runs":$runsJson,"tainted":$taintedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","engine_total":$engineTotal,"ml_total":$mlTotal,"box_calibration":{"shuffle_sec":$calShuffle,"io_sec":$calIo},"queries":$qs,"runs":$runsJson,"tainted":$taintedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Sidecar copy: the driver's round artifact stores a bounded log tail,
     // and with 100 queries the single JSON line can outgrow it (BENCH_r03

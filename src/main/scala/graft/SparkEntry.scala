@@ -113,6 +113,23 @@ object SparkEntry {
     }
   }
 
+  /** q162's persisted BASE IVF index — the 90% of the corpus that
+    * "existed before" the admission batch (`vec_id % 10 != 0`), built and
+    * saved once per corpus OFF the bench clock ([[warmIndexes]]), so the
+    * timed query measures admission + probe: the O(batch) contract
+    * [[Similarity.ivfAdmit]] exists for. Same memo discipline as the
+    * graph artifact (corpus-unique generation paths, fingerprint
+    * staleness on the embeddings files). */
+  private val ivfAdmitBases = new graft.ArtifactMemo("ivf_admit_base")
+  private def ivfAdmitBasePath(s: SparkSession, d: String): String = {
+    val fp = graft.ArtifactMemo.tableFingerprint(s, d, "embeddings")
+    ivfAdmitBases.getOrBuild(d, fp) { path =>
+      val idx = Similarity.buildIvf(
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) =!= 0))
+      try Similarity.saveIvf(idx, path) finally idx.unpersist()
+    }
+  }
+
   /** Bench hook: ensure the session-lifetime IVF/PQ index memos for `d`
     * are built and cached — called OFF the clock before timing an
     * index-probe query, so a cache sweep between samples doesn't turn a
@@ -125,6 +142,7 @@ object SparkEntry {
     pqIndex(s, d)
     graft.streaming.DocumentStreams.warmNearDupIndex(s, d)
     graft.ops.GraphEdges.warm(s, d)
+    ivfAdmitBasePath(s, d)
     ()
   }
 
@@ -133,7 +151,7 @@ object SparkEntry {
     * corpus by [[graft.streaming.DocumentStreams.warmNearDupIndex]]): with
     * the artifact warm, the timed run measures stream machinery + per-batch
     * screens — the build-once/screen-many contract the index exists for.
-    * The eight graph queries are here for the co-purchase edge artifact
+    * The graph queries are here for the co-purchase edge artifact
     * ([[graft.ops.GraphEdges]]): the distinct-basket self-join is built
     * once per corpus and every graph query LOADS it, so their timed runs
     * measure the iterative operator, not a per-query rebuild of the shared
@@ -146,7 +164,7 @@ object SparkEntry {
     "q153_copurchase_triangles", "q154_link_prediction",
     "q155_pagerank_converged_subgraph", "q156_clustering_coefficient",
     "q157_kcore", "q159_assortativity", "q160_weighted_pagerank_subgraph",
-    "q161_ppr_subgraph")
+    "q161_ppr_subgraph", "q162_ivf_admit", "q163_ivf_compact")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -156,7 +174,7 @@ object SparkEntry {
     * q149 never exercises it. */
   val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pagerank_converged" -> ((s, d) =>
-      graft.ops.Graph.pageRankConvergedFromPairs(graft.ops.GraphEdges.pairs(s, d),
+      graft.ops.Graph.pageRankConvergedFromStack(graft.ops.GraphEdges.degStack(s, d),
         eps = 1e-6, maxIterations = 200)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1099,8 +1117,12 @@ object SparkEntry {
     // every graph wall. Support thresholds and the subgraph restriction
     // are pushed-down filters over the artifact; results are identical to
     // the inline forms (GraphSpec pins frame equality on a fixture).
+    // Round 11: the PageRank variants additionally load the PERSISTED
+    // symmetrized degree/weight stacks (GraphEdges.degStack/wStack) —
+    // through round 10 each still re-ran union+degree+join from the pair
+    // list per query, the dominant pre-iteration cost at sf10.
     "q149_copurchase_pagerank" -> ((s, d) =>
-      graft.ops.Graph.pageRankFromPairs(graft.ops.GraphEdges.pairs(s, d))),
+      graft.ops.Graph.pageRankFromStack(graft.ops.GraphEdges.degStack(s, d))),
     // Connected components of the support-thresholded co-purchase graph —
     // hash-to-min propagation with pointer jumping, constant plan depth
     // (the q149 checkpoint discipline). Integer-exact labels; oracle is a
@@ -1117,8 +1139,8 @@ object SparkEntry {
     // — the sf10-checkable face of the graph family (the full-graph
     // oracles exhaust the oracle box's RAM above sf3).
     "q151_pagerank_subgraph" -> ((s, d) =>
-      graft.ops.Graph.pageRankFromPairs(
-        graft.ops.GraphEdges.pairs(s, d, subgraph = true))),
+      graft.ops.Graph.pageRankFromStack(
+        graft.ops.GraphEdges.degStack(s, d, subgraph = true))),
     "q152_components_subgraph" -> ((s, d) =>
       graft.ops.Graph.componentsFromPairs(
         graft.ops.GraphEdges.pairs(s, d, subgraph = true)
@@ -1146,8 +1168,8 @@ object SparkEntry {
     // uniform-relative threshold makes K scale-invariant on the replicated
     // corpora (ranks and deltas both scale 1/copies).
     "q155_pagerank_converged_subgraph" -> ((s, d) =>
-      graft.ops.Graph.convergedSubgraphTopK(
-        graft.ops.GraphEdges.pairs(s, d, subgraph = true))),
+      graft.ops.Graph.convergedSubgraphTopKFromStack(
+        graft.ops.GraphEdges.degStack(s, d, subgraph = true))),
     // Local clustering coefficient — q153's wedge core with a coefficient
     // finalize (2·T/d(d−1) over the same thresholded edge set): the
     // density of each node's neighborhood rather than its raw triangle
@@ -1192,16 +1214,54 @@ object SparkEntry {
     // identical unroll with the weighted contribution — subgraph-restricted
     // like its siblings so the unrolled SQL stays feasible at sf10.
     "q160_weighted_pagerank_subgraph" -> ((s, d) =>
-      graft.ops.Graph.weightedPageRankFromPairs(
-        graft.ops.GraphEdges.pairs(s, d, subgraph = true))),
+      graft.ops.Graph.weightedPageRankFromStack(
+        graft.ops.GraphEdges.wStack(s, d, subgraph = true))),
     // Personalized PageRank (random walk with restart) around a
     // DATA-DERIVED seed (the subgraph's smallest part id — both engines
     // compute MIN over the symmetrized edges, so the oracle stays static
     // at every scale): the "parts related to THIS part" recommendation
     // kernel. Same sliced-fold contract; only the teleport term differs.
     "q161_ppr_subgraph" -> ((s, d) =>
-      graft.ops.Graph.personalizedPageRankFromPairs(
-        graft.ops.GraphEdges.pairs(s, d, subgraph = true))))
+      graft.ops.Graph.personalizedPageRankFromStack(
+        graft.ops.GraphEdges.degStack(s, d, subgraph = true))),
+    // Incremental ANN index maintenance (round-10 ask #3): admit the 10%
+    // "new" slice of the corpus (vec_id % 10 == 0) into the persisted
+    // base index as an O(batch) delta segment — same codegen'd cell
+    // assignment as the build, NO quantizer refit or corpus re-scan —
+    // then serve a knn probe over base+delta as one index. The base index
+    // is the per-corpus artifact warmIndexes builds off the clock, so the
+    // timed run measures admission + probe, unlike the full rebuild the
+    // family previously paid on any corpus append. Rows-only check
+    // (approximate family); SimilaritySpec pins admission == one-shot
+    // assignment of the full corpus under the same quantizer, and the
+    // recall floor vs exact brute force.
+    "q162_ivf_admit" -> ((s, d) => {
+      val base = ivfAdmitBasePath(s, d)
+      Similarity.ivfAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        segment = "b0")
+      Similarity.ivfKnnJoin(Similarity.loadIvfWithDeltas(s, base),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+    }),
+    // Delta compaction — q162's off-peak twin: rewrite base + admitted
+    // deltas into a FRESH single-base generation (one pass over the index
+    // files, never the corpus; quantizer untouched), then probe the
+    // compacted index. Non-destructive (the source generation keeps
+    // serving while the new one writes — the ArtifactMemo discipline), so
+    // reruns are idempotent. The b0 admission below writes byte-identical
+    // content to q162's (same deterministic assignment), so the two
+    // queries compose in any order. Rows-only; SimilaritySpec pins
+    // compacted == base+deltas and delta-freeness.
+    "q163_ivf_compact" -> ((s, d) => {
+      val base = ivfAdmitBasePath(s, d)
+      Similarity.ivfAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        segment = "b0")
+      val out = WorkDirs.fresh("q163_ivf_compact")
+      Similarity.ivfCompactTo(s, base, out)
+      Similarity.ivfKnnJoin(Similarity.loadIvf(s, out),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+    }))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so
     * no change event can tie across the boundary). */

@@ -45,6 +45,17 @@ object WorkDirs {
   /** The session root — exposed so tests can assert flatness. */
   def rootDir: String = root.toString
 
+  /** Delete a scratch path previously minted by [[fresh]]/[[stable]] —
+    * the superseded-generation reclaim in [[graft.ArtifactMemo]]. Refuses
+    * paths outside the work root (the same containment check as
+    * [[fresh]]), so a corrupted memo entry can never aim this at real
+    * data. Best-effort like the shutdown hook. */
+  def drop(path: String): Unit = {
+    val p = Paths.get(path).normalize()
+    require(p.startsWith(root), s"drop path escapes the work root: $path")
+    deleteRecursively(p)
+  }
+
   private def resolveUnder(name: String): Path = {
     val d = root.resolve(name).normalize()
     require(d.startsWith(root), s"scratch name escapes the work root: $name")

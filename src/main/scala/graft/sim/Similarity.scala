@@ -167,8 +167,11 @@ object Similarity {
 
   /** Load a persisted IVF index. The assignment frame stays disk-backed
     * (partition-pruned probes, no cache warm-up needed). */
-  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val assigned = spark.read.parquet(s"$path/assigned")
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/assigned"), loadCentroids(spark, path))
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Double])] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no centroids sidecar at $p")
@@ -177,11 +180,76 @@ object Similarity {
     import org.json4s.DefaultFormats
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = DefaultFormats
-    val centroids = JsonMethods.parse(raw).extract[Seq[Map[String, Any]]].map { m =>
+    JsonMethods.parse(raw).extract[Seq[Map[String, Any]]].map { m =>
       (m("i").asInstanceOf[Number].intValue(),
         m("c").asInstanceOf[Seq[Number]].map(_.doubleValue()).toArray)
     }.toArray.sortBy(_._1)
-    IvfIndex(assigned, centroids)
+  }
+
+  /** O(batch) IVF admission (round-10 ask #3): assign NEW vectors to the
+    * EXISTING quantizer's cells with the same codegen'd argmin the build
+    * used, and land them as a named DELTA SEGMENT next to the base
+    * assignment — no quantizer refit, no corpus re-scan; the cost is one
+    * narrow pass over the batch (the q146 near-dup admission discipline
+    * applied to X3, closing the family's only whole-rebuild-on-append
+    * path). Named segments make re-admission idempotent (same segment ⇒
+    * overwrite); [[loadIvfWithDeltas]] serves base + deltas as one index.
+    * At 100 TB this is how an ANN index tracks an appending corpus:
+    * per-batch delta segments land next to the base and compact
+    * periodically; the quantizer ages only via cell IMBALANCE (visible,
+    * monitorable), never via silently stale assignments. */
+  def ivfAdmit(path: String, batch: DataFrame, segment: String): Unit = {
+    require(segment.nonEmpty && segment.forall(c => c.isLetterOrDigit || c == '-'),
+      s"segment must be alphanumeric/dash, got '$segment'")
+    val centroids = loadCentroids(batch.sparkSession, path)
+    graft.ops.Partitioning.spread(batch)
+      .withColumn("cell", cellColumn(centroids))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/delta_$segment/assigned")
+  }
+
+  /** Compact a delta'd IVF index into a FRESH generation at `outPath`:
+    * one pass over the INDEX files (cells are already assigned — the
+    * corpus is never re-scanned, the quantizer never refit), producing a
+    * single cell-partitioned base with no deltas, plus the centroid
+    * sidecar copied verbatim. Non-destructive by design: the source
+    * generation keeps serving probes while the compaction writes, and the
+    * caller swaps pointers after — the [[graft.ArtifactMemo]] generation
+    * discipline. This is the off-peak maintenance that keeps probe fan-in
+    * (segments per cell) constant as admission batches accumulate. */
+  def ivfCompactTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String): Unit = {
+    loadIvfWithDeltas(spark, path).assigned
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/assigned")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val dst = new org.apache.hadoop.fs.Path(s"$outPath/centroids.json")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, true, conf)
+    ()
+  }
+
+  /** Load base + every admitted delta segment as ONE index: the
+    * assignment relation is a union of cell-partitioned parquet roots, so
+    * a probe's cell filter partition-prunes across all segments alike.
+    * Deterministic segment order (sorted names). */
+  def loadIvfWithDeltas(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+      .map(st => s"${st.getPath.toString}/assigned")
+      .sorted
+    // One read PER segment root, unioned: a multi-path read would make
+    // Spark hunt for a common partition-discovery base across
+    // `assigned/cell=N` and `delta_x/assigned/cell=N` and reject the
+    // layout as conflicting. Each scan keeps its own cell-partition
+    // pruning; the union of pruned scans is still pruned.
+    val assigned = (s"$path/assigned" +: deltas.toSeq)
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+    IvfIndex(assigned, loadCentroids(spark, path))
   }
 
   /** Build the IVF index. One bounded sample job + driver-local Lloyd
@@ -200,20 +268,26 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "buildIvf: empty corpus")
     val centroids = Lloyd.fit(sample, nlist, lloydIters)
+    val assigned = graft.ops.Partitioning.spread(embeddings)
+      .withColumn("cell", cellColumn(centroids))
+    IvfIndex(assigned, centroids).persist()
+  }
 
-    // argmin_c (‖c‖² − 2x·c) via least() over (score, cell) structs — fully
-    // codegen'd, centroids ride as broadcast literals in the plan.
+  /** The codegen'd cell-assignment expression for a FIXED quantizer:
+    * argmin_c ‖x−c‖² = argmin_c (‖c‖² − 2x·c) via least() over
+    * (score, cell) structs — centroids ride as broadcast literals in the
+    * plan, ‖x‖² drops out as constant per row. Shared by the initial
+    * build ([[buildIvf]]) and O(batch) admission ([[ivfAdmit]]), so the
+    * two paths can never assign differently. */
+  private def cellColumn(centroids: Array[(Int, Array[Double])]): Column = {
     val scored = centroids.map { case (i, c) =>
       val cNorm2 = c.map(x => x * x).sum
       struct(
         (lit(cNorm2) - lit(2.0) * dot(col("embedding"), typedLit(c.toSeq))).as("s"),
         lit(i).as("i"))
     }
-    val cellCol =
-      if (scored.length == 1) lit(0)
-      else least(scored.toIndexedSeq: _*).getField("i")
-    val assigned = graft.ops.Partitioning.spread(embeddings).withColumn("cell", cellCol)
-    IvfIndex(assigned, centroids).persist()
+    if (scored.length == 1) lit(0)
+    else least(scored.toIndexedSeq: _*).getField("i")
   }
 
   def ivfTopK(index: IvfIndex, queryVecId: Long, k: Int, nprobe: Int = 4): DataFrame = {

@@ -22,9 +22,47 @@ class ArtifactMemoSpec extends SparkSpec {
     // Memo hit: no rebuild while the fingerprint matches.
     assert(memo.getOrBuild("corpusA", "fp1")(build) == pA)
     assert(builds == 2)
-    // Fingerprint change (corpus overwritten): rebuild, same stable path.
-    assert(memo.getOrBuild("corpusA", "fp2")(build) == pA)
+    // Fingerprint change (corpus overwritten): rebuild into a NEW
+    // generation path — the superseded generation survives this build
+    // (round-10 ask #4; the generation test below covers the full cycle).
+    val pA2 = memo.getOrBuild("corpusA", "fp2")(build)
+    assert(pA2 != pA, "staleness rebuild reused the live generation's path")
     assert(builds == 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pA, "marker")),
+      "staleness rebuild destroyed the superseded generation immediately")
+  }
+
+  test("a reader over the superseded generation finishes; the next rebuild reclaims it") {
+    // Round-10 residual: on staleness the rebuild wiped the SAME
+    // corpus-unique dir a live stream could be lazily reading. Paths now
+    // embed the fingerprint hash: a rebuild writes a NEW generation, the
+    // pointer swaps after the build, and the superseded generation is
+    // reclaimed only at the NEXT staleness event — so disk stays bounded
+    // at two generations per key while any in-flight reader survives one
+    // corpus rewrite.
+    val memo = new ArtifactMemo("amemo_gen")
+    def build(rows: Seq[Int])(p: String): Unit = {
+      import spark.implicits._
+      rows.toDF("v").write.parquet(s"$p/t")
+    }
+    val g1 = memo.getOrBuild("corpus", "fp1")(build(Seq(1, 2, 3)))
+    // A lazy reader opens generation 1 before the corpus is rewritten …
+    val reader = spark.read.parquet(s"$g1/t")
+    // … the rewrite lands generation 2 at a DIFFERENT path …
+    val g2 = memo.getOrBuild("corpus", "fp2")(build(Seq(4, 5)))
+    assert(g2 != g1)
+    // … and the old reader still finishes on the old generation's files.
+    assert(reader.count() == 3)
+    // The memo pointer serves generation 2 (no rebuild on hit).
+    assert(memo.getOrBuild("corpus", "fp2")(p =>
+      fail(s"memo hit rebuilt at $p")) == g2)
+    assert(spark.read.parquet(s"$g2/t").count() == 2)
+    // The NEXT staleness event reclaims generation 1 and keeps 2 and 3.
+    val g3 = memo.getOrBuild("corpus", "fp3")(build(Seq(6)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(g1)),
+      "generation two rebuilds back was not reclaimed")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(g2, "t")))
+    assert(spark.read.parquet(s"$g3/t").count() == 1)
   }
 
   test("concurrent same-key callers build once; distinct keys build in parallel") {

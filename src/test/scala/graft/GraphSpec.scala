@@ -285,6 +285,47 @@ class GraphSpec extends SparkSpec {
       rows(Graph.nodeBase(sub), "part"))
   }
 
+  test("persisted degree/weight stacks equal the inline symmetrized plans") {
+    // Round-10 ask #2: the PageRank variants load PERSISTED symmetrized
+    // stacks instead of re-running union+degree+join per query. The
+    // artifact files must be row-identical to the inline plans they
+    // replace — full and subgraph (whose degrees are computed over the
+    // RESTRICTED edge set, not filtered out of the full stack's rows).
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("src"), col("dst")).collect().map(_.toSeq).toSeq
+    val pairs = Graph.pairBase(Tables.lineitem(spark, sf))
+    assert(rows(graft.ops.GraphEdges.degStack(spark, sf)) ==
+      rows(Graph.symmetrizedDeg(pairs)))
+    assert(rows(graft.ops.GraphEdges.wStack(spark, sf)) ==
+      rows(Graph.symmetrizedW(pairs)))
+    val sub = pairs.filter(pmod(col("src"), lit(Graph.SubgraphModulus)) === 0 &&
+      pmod(col("dst"), lit(Graph.SubgraphModulus)) === 0)
+    assert(rows(graft.ops.GraphEdges.degStack(spark, sf, subgraph = true)) ==
+      rows(Graph.symmetrizedDeg(sub)))
+    assert(rows(graft.ops.GraphEdges.wStack(spark, sf, subgraph = true)) ==
+      rows(Graph.symmetrizedW(sub)))
+  }
+
+  test("stack-routed PageRank variants equal the pair-routed forms") {
+    // Same fold arithmetic over the same edge multiset ⇒ bit-identical
+    // ranks; this pins the artifact WIRING (the stack a query loads is the
+    // stack its inline form would have built).
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val pairs = graft.ops.GraphEdges.pairs(spark, sf)
+    assert(rows(Graph.pageRankFromStack(graft.ops.GraphEdges.degStack(spark, sf))) ==
+      rows(Graph.pageRankFromPairs(pairs)))
+    val subPairs = graft.ops.GraphEdges.pairs(spark, sf, subgraph = true)
+    val subDeg = graft.ops.GraphEdges.degStack(spark, sf, subgraph = true)
+    assert(rows(Graph.weightedPageRankFromStack(
+        graft.ops.GraphEdges.wStack(spark, sf, subgraph = true))) ==
+      rows(Graph.weightedPageRankFromPairs(subPairs)))
+    assert(rows(Graph.personalizedPageRankFromStack(subDeg)) ==
+      rows(Graph.personalizedPageRankFromPairs(subPairs)))
+    assert(rows(Graph.convergedSubgraphTopKFromStack(subDeg)) ==
+      rows(Graph.convergedSubgraphTopK(subPairs)))
+  }
+
   test("artifact-routed operators equal the inline lineitem forms") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)

@@ -83,6 +83,73 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     index.unpersist()
   }
 
+  test("IVF admission: delta == fresh assignment under the same quantizer; combined index exact at nprobe=nlist") {
+    // Round-10 ask #3: a corpus append must cost O(batch) — assign the new
+    // vectors to the EXISTING quantizer's cells and land a delta segment —
+    // not a whole-index rebuild. Pins: (a) admitted cells equal an
+    // INDEPENDENT driver-side argmin under the base quantizer; (b) same
+    // segment re-admitted is idempotent (overwrite, not append); (c) the
+    // combined base+delta index at nprobe = nlist is EXACT over the full
+    // corpus, so admission lost no recall (the q110 floor a fortiori).
+    val base = embeddings.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = embeddings.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val idx = Similarity.buildIvf(base, nlist = 8)
+    val path = tempDir("graft_ivf_admit")
+    Similarity.saveIvf(idx, path)
+    idx.unpersist()
+    Similarity.ivfAdmit(path, batch, segment = "b0")
+    val merged = Similarity.loadIvfWithDeltas(spark, path)
+    assert(merged.assigned.count() == embeddings.count(), "rows lost or duplicated")
+    val cents = merged.centroids
+    merged.assigned.join(batch.select("vec_id"), "vec_id")
+      .select("vec_id", "cell", "embedding").collect()
+      .foreach { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble).toArray
+        val want = cents.minBy { case (i, c) =>
+          (c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum, i) }._1
+        assert(r.getInt(1) == want,
+          s"vec ${r.getLong(0)} admitted to cell ${r.getInt(1)}, argmin is $want")
+      }
+    val exact = Similarity.bruteForceTopK(embeddings, 0, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val admitted = Similarity.ivfKnnJoin(merged,
+        embeddings.filter(col("vec_id") === 0), 10, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(admitted == exact,
+      s"combined index at nprobe=nlist diverged from exact: $admitted vs $exact")
+    // Idempotence last: the overwrite replaces the delta's files, so any
+    // frame planned over the OLD listing (merged above) is dead after it —
+    // exactly why the production query re-loads per call.
+    Similarity.ivfAdmit(path, batch, segment = "b0")
+    assert(Similarity.loadIvfWithDeltas(spark, path).assigned.count() ==
+      embeddings.count(), "re-admitting the same segment duplicated rows")
+
+    // Compaction (q163): base + deltas rewritten into a FRESH generation —
+    // content-identical, delta-free, source untouched; probes equal.
+    val out = tempDir("graft_ivf_compact")
+    Similarity.ivfCompactTo(spark, path, out)
+    val compacted = Similarity.loadIvf(spark, out)
+    def keyed(ix: Similarity.IvfIndex) = ix.assigned
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val fresh = Similarity.loadIvfWithDeltas(spark, path)
+    assert(keyed(compacted) == keyed(fresh), "compaction changed the content")
+    assert(compacted.centroids.zip(fresh.centroids).forall {
+      case ((i, a), (j, b)) => i == j && a.sameElements(b) },
+      "compaction changed the quantizer")
+    val outFs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!outFs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .exists(_.getPath.getName.startsWith("delta_")),
+      "compacted generation still has delta segments")
+    assert(outFs.exists(new org.apache.hadoop.fs.Path(s"$path/delta_b0")),
+      "compaction destroyed the SOURCE generation's delta")
+    val probeCompacted = Similarity.ivfKnnJoin(compacted,
+        embeddings.filter(col("vec_id") === 0), 10, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(probeCompacted == exact, "compacted probe diverged from exact")
+  }
+
   test("PQ: codes are well-formed; full-candidate search equals exact top-k; pruned recall is high") {
     val embeddings = Tables.embeddings(spark, sf)
     val cb = Similarity.pqTrain(embeddings, m = 8, k = 16)

@@ -18,7 +18,21 @@ import json
 import sys
 
 out_path, in_paths = sys.argv[1], sys.argv[2:]
-sides = [json.load(open(p)) for p in in_paths]
+# Missing inputs are skipped LOUDLY instead of crashing: campaign scripts
+# list every sidecar a full run would produce, and a partial rerun (or a
+# script that never wrote one of them — the round-10 d_q149_sf3 case)
+# should merge what exists while making the gap visible. Zero readable
+# inputs is still a hard error — silently writing an empty merge would
+# let scaling_report regenerate SCALING.md from nothing.
+sides = []
+for p in in_paths:
+    try:
+        sides.append(json.load(open(p)))
+    except OSError as e:
+        print(f"merge_bench: SKIPPING missing/unreadable sidecar {p}: {e}",
+              file=sys.stderr)
+if not sides:
+    sys.exit(f"merge_bench: no readable sidecars among {in_paths}")
 
 names = sorted({q for s in sides for q in s["queries"]}
                | {q for s in sides for q in s.get("failed", [])})
@@ -46,6 +60,15 @@ merged = {
     "sf": sides[0].get("sf", "?"),
     "merged_from": len(sides),
 }
+# Box calibration (round-10 ask #1): per-field min across the input JVMs —
+# the same best-of-N estimator the query walls use. Present only if at
+# least one input carried it (older sidecars predate the probe).
+cals = [s["box_calibration"] for s in sides if "box_calibration" in s]
+if cals:
+    merged["box_calibration"] = {
+        k: min(c[k] for c in cals if k in c)
+        for k in sorted({k for c in cals for k in c})
+    }
 json.dump(merged, open(out_path, "w"))
-print(f"merged {len(in_paths)} sidecars -> {out_path}: "
+print(f"merged {len(sides)}/{len(in_paths)} sidecars -> {out_path}: "
       f"{len(queries)} queries, total {total:.1f}s, failed {failed}")
