@@ -52,10 +52,15 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       def shuffleOnce(): Double = timeIt {
+        // xxhash64, not an LCG multiply: Spark 4 runs ANSI mode, where a
+        // seeded-multiply hash overflows long and THROWS. The hash is the
+        // same fixed work on every box, which is all the probe needs.
         spark.range(0L, 32L * 1000 * 1000, 1L, 32)
-          .select((col("id") * lit(2862933555777941757L) + lit(3037000493L)).as("h"))
+          .select(xxhash64(col("id")).as("h"))
           .groupBy(pmod(col("h"), lit(1000000L)).as("k"))
-          .agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
+          // sum over a BOUNDED value: ANSI sum(long) over 32M raw hashes
+          // would itself overflow and throw.
+          .agg(sum(pmod(col("h"), lit(1000L))).as("s"), count(lit(1)).as("c"))
           .orderBy(col("k"))
           .write.format("noop").mode("overwrite").save()
       }
@@ -77,7 +82,15 @@ object Bench {
       System.err.println(f"[bench] box calibration: shuffle $sh%.2f s, io $io%.2f s")
       (sh, io)
     }
-    val (calShuffle, calIo) = calibrate()
+    // A probe failure must NEVER kill the bench run (the round-11 first
+    // campaign died here on an ANSI overflow before timing a single
+    // query): degrade to the -1.0 sentinel and keep benching.
+    val (calShuffle, calIo) =
+      try calibrate()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] box calibration FAILED: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
 
     // Hypervisor steal time (jiffies, USER_HZ=100): the direct evidence of
     // co-tenant contention. Sampled around every timed run — wall time

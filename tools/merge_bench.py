@@ -65,10 +65,14 @@ merged = {
 # least one input carried it (older sidecars predate the probe).
 cals = [s["box_calibration"] for s in sides if "box_calibration" in s]
 if cals:
-    merged["box_calibration"] = {
-        k: min(c[k] for c in cals if k in c)
-        for k in sorted({k for c in cals for k in c})
-    }
+    # <= 0 is the probe-failed sentinel — never let it win the min.
+    cal = {}
+    for k in sorted({k for c in cals for k in c}):
+        vals = [c[k] for c in cals if c.get(k, -1) > 0]
+        if vals:
+            cal[k] = min(vals)
+    if cal:
+        merged["box_calibration"] = cal
 json.dump(merged, open(out_path, "w"))
 print(f"merged {len(sides)}/{len(in_paths)} sidecars -> {out_path}: "
       f"{len(queries)} queries, total {total:.1f}s, failed {failed}")
