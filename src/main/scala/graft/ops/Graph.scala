@@ -168,8 +168,17 @@ object Graph {
     * pin holds the same sf10 frame in ~GBs. Callers MUST unpersist the
     * returned frame before returning — a forgotten pin is a
     * session-lifetime CacheManager entry that repeated calls stack up. */
-  private def pinStack(stack: DataFrame): (DataFrame, Long) = {
-    val pinned = stack.persist(edgePin)
+  private[graft] def pinStack(stack: DataFrame): (DataFrame, Long) = {
+    // Hash-partition the pin by `src` (round-11 ask #1): InMemoryRelation
+    // preserves its child's outputPartitioning, so every iteration's
+    // src-equi-join reads its clustered distribution STRAIGHT OFF THE
+    // CACHE — only the (part, rank)-sized rank side exchanges. Without
+    // this the cache carries file-split partitioning and the join
+    // re-shuffles the big edge side EVERY iteration (×3 fixed mode, ×48
+    // converged) in all five PageRank variants; one exchange at pin time
+    // replaces all of them. PlanSpec pins the absence of a stack-side
+    // Exchange on the iteration join.
+    val pinned = stack.repartition(col("src")).persist(edgePin)
     // Bounded driver scalar (one long) whose computation doubles as the
     // action that materializes the pin.
     val n = pinned.select(countDistinct(col("src"))).first().getLong(0)
@@ -179,7 +188,7 @@ object Graph {
   /** One PageRank iteration: contributions via ONE hash equi-join, then
     * the two-level sliced fold (see the object doc). Both aggregation
     * levels are keyed — no global or per-node unbounded buffer. */
-  private def step(edgesDeg: DataFrame, ranks: DataFrame, n: Long,
+  private[graft] def step(edgesDeg: DataFrame, ranks: DataFrame, n: Long,
       damping: Double): DataFrame = {
     val contribs = edgesDeg
       .join(ranks.withColumnRenamed("part", "src"), Seq("src"))
@@ -214,7 +223,7 @@ object Graph {
         (teleport + lit(damping) * col("__s")).as("rank"))
   }
 
-  private def initialRanks(edgesDeg: DataFrame, n: Long): DataFrame =
+  private[graft] def initialRanks(edgesDeg: DataFrame, n: Long): DataFrame =
     edgesDeg.select(col("src").as("part")).distinct()
       .select(col("part"), lit(1.0 / n).as("rank"))
 

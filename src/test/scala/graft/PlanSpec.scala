@@ -456,4 +456,40 @@ class PlanSpec extends SparkSpec {
       mustContain = Seq.empty,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   }
+
+  test("pagerank iteration join reads the pinned stack with NO stack-side exchange") {
+    // Round-11 ask #1: pinStack repartitions the edge stack by `src`
+    // before persist, and InMemoryRelation preserves that partitioning —
+    // so the per-iteration src-equi-join must satisfy its clustered
+    // distribution straight off the cache. This drives the REAL
+    // pinStack/step/initialRanks (not a replica of their plans): a
+    // refactor that drops the repartition, or a Spark upgrade that stops
+    // propagating cached partitioning, fails here. AQE is disabled for
+    // the assertion so the executed plan is concrete without running it.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (edgesDeg, n) = ops.Graph.pinStack(ops.GraphEdges.degStack(spark, sf))
+      try {
+        val once = ops.Graph.step(
+          edgesDeg, ops.Graph.initialRanks(edgesDeg, n), n, 0.85)
+        val plan = once.queryExecution.executedPlan
+        val joins = plan.collect {
+          case j: BaseJoinExec
+            if j.leftKeys.exists(_.toString.contains("src")) => j
+        }
+        assert(joins.nonEmpty, s"no src iteration join in:\n$plan")
+        joins.foreach(_.children.foreach { side =>
+          assert(side.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+            s"iteration-join side does not read the pin:\n$plan")
+          assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"iteration join re-shuffles a side that should read the " +
+              s"src-partitioned pin directly:\n$plan")
+        })
+      } finally edgesDeg.unpersist(false)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
