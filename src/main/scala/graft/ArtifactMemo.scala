@@ -68,8 +68,13 @@ final class ArtifactMemo(prefix: String) {
                 try WorkDirs.drop(old)
                 catch { case _: IllegalArgumentException => () }
               }
+              // FULL fingerprint hash (round-11 advice): a truncated
+              // 32-bit suffix colliding across two consecutive
+              // fingerprints of the same key would make this fresh() wipe
+              // the LIVE generation mid-read — the exact bug generations
+              // exist to prevent. The full hex costs nothing.
               val path = WorkDirs.fresh(
-                s"${prefix}_${md5hex(key)}_${md5hex(fingerprint).take(8)}")
+                s"${prefix}_${md5hex(key)}_${md5hex(fingerprint)}")
               build(path)
               prev.foreach { case (_, old) if old != path =>
                 superseded.put(key, old)

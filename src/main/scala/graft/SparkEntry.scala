@@ -130,6 +130,25 @@ object SparkEntry {
     }
   }
 
+  /** q166's persisted BASE PQ index — codebooks trained and corpus
+    * encoded over the same 90% "pre-existing" slice as
+    * [[ivfAdmitBasePath]]'s, saved once per corpus off the clock, so the
+    * timed query measures O(batch) code admission + the two-stage probe.
+    * The fingerprint covers the embeddings files only: the admitted
+    * delta rides an EXTERNAL scratch root (never this generation), so
+    * there is nothing else the staleness key could legitimately cover —
+    * keep it that way (round-11 ask #8 note on ivfAdmitBasePath). */
+  private val pqAdmitBases = new graft.ArtifactMemo("pq_admit_base")
+  private def pqAdmitBasePath(s: SparkSession, d: String): String = {
+    val fp = graft.ArtifactMemo.tableFingerprint(s, d, "embeddings")
+    pqAdmitBases.getOrBuild(d, fp) { path =>
+      val old = Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val cb = Similarity.pqTrain(old)
+      Similarity.savePq(
+        Similarity.pqEncode(graft.ops.Partitioning.spread(old), cb), cb, path)
+    }
+  }
+
   /** Bench hook: ensure the session-lifetime IVF/PQ index memos for `d`
     * are built and cached — called OFF the clock before timing an
     * index-probe query, so a cache sweep between samples doesn't turn a
@@ -143,6 +162,7 @@ object SparkEntry {
     graft.streaming.DocumentStreams.warmNearDupIndex(s, d)
     graft.ops.GraphEdges.warm(s, d)
     ivfAdmitBasePath(s, d)
+    pqAdmitBasePath(s, d)
     ()
   }
 
@@ -164,7 +184,8 @@ object SparkEntry {
     "q153_copurchase_triangles", "q154_link_prediction",
     "q155_pagerank_converged_subgraph", "q156_clustering_coefficient",
     "q157_kcore", "q159_assortativity", "q160_weighted_pagerank_subgraph",
-    "q161_ppr_subgraph", "q162_ivf_admit", "q163_ivf_compact")
+    "q161_ppr_subgraph", "q162_ivf_admit", "q163_ivf_compact",
+    "q164_stream_ivf_admit", "q165_ivf_delete", "q166_pq_admit")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -1261,6 +1282,66 @@ object SparkEntry {
       Similarity.ivfCompactTo(s, base, out)
       Similarity.ivfKnnJoin(Similarity.loadIvf(s, out),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+    }),
+    // STREAMING ANN admission (round-11 ask #2) — the q146→q148
+    // progression applied to X3: the same "new" slice arrives as an
+    // unbounded stream and each micro-batch lands as its own atomic
+    // delta segment (one O(batch) cell-assignment pass per trigger; the
+    // persisted base's quantizer is fixed capital). Segments go to an
+    // EXTERNAL delta root so the shared base generation stays immutable
+    // and the lifecycle queries compose in any order; the probe then
+    // serves base + stream segments as one index. Rows-only
+    // (approximate family); SimilaritySpec pins the settled index ==
+    // one-shot admission under any file carving, and the recall floor
+    // holds by the shared cellColumn (same assignment as q162's).
+    "q164_stream_ivf_admit" -> ((s, d) => {
+      val base = ivfAdmitBasePath(s, d)
+      val deltaRoot = WorkDirs.fresh("q164_stream_admit")
+      graft.streaming.EmbeddingStreams.ivfAdmissionStream(s, d, base, deltaRoot)
+      Similarity.ivfKnnJoin(
+        Similarity.loadIvfWithDeltas(s, base, deltaRoots = Some(Seq(deltaRoot))),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+    }),
+    // ANN deletion (round-11 ask #3) — the index lifecycle's third verb:
+    // a delete batch lands as an O(batch) TOMBSTONE segment, the load
+    // path anti-joins it at serve time (deleted vectors vanish from
+    // probes immediately, no index rewrite), and compaction physically
+    // reclaims (q163's spec extends to tombstone-freeness). The admitted
+    // delta + tombstone both live in an external root — base immutable,
+    // order-independent. The deleted set is data-derived and
+    // deterministic (vec_id % 7 == 3: hits base AND delta rows). Rows
+    // only; SimilaritySpec pins probe-over-deleted == probe-over-
+    // rebuilt-without-deleted under the same quantizer.
+    "q165_ivf_delete" -> ((s, d) => {
+      val base = ivfAdmitBasePath(s, d)
+      val deltaRoot = WorkDirs.fresh("q165_ivf_delete")
+      Similarity.ivfAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        "b0", deltaRoot = Some(deltaRoot))
+      Similarity.ivfDelete(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")),
+        "t0", deltaRoot = Some(deltaRoot))
+      Similarity.ivfKnnJoin(
+        Similarity.loadIvfWithDeltas(s, base, deltaRoots = Some(Seq(deltaRoot))),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+    }),
+    // PQ admission parity (round-11 ask #4): the IVF O(batch) admission
+    // contract on the PQ index — encode the append batch under the
+    // EXISTING persisted codebooks (pqEncode, the exact expression the
+    // base build ran, so the two paths cannot encode differently), land
+    // it as an atomic delta segment in an external root, then probe the
+    // two-stage PQ search over base + delta as one encoded relation.
+    // Rows-only; SimilaritySpec pins admitted codes == one-shot encode.
+    "q166_pq_admit" -> ((s, d) => {
+      val base = pqAdmitBasePath(s, d)
+      val deltaRoot = WorkDirs.fresh("q166_pq_admit")
+      Similarity.pqAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        "b0", deltaRoot = Some(deltaRoot))
+      val (cb, enc) = Similarity.loadPqWithDeltas(s, base,
+        deltaRoots = Some(Seq(deltaRoot)))
+      Similarity.pqTopK(enc, cb, 0, 20)
     }))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so

@@ -198,14 +198,78 @@ object Similarity {
     * per-batch delta segments land next to the base and compact
     * periodically; the quantizer ages only via cell IMBALANCE (visible,
     * monitorable), never via silently stale assignments. */
-  def ivfAdmit(path: String, batch: DataFrame, segment: String): Unit = {
+  def ivfAdmit(path: String, batch: DataFrame, segment: String,
+      deltaRoot: Option[String] = None): Unit = {
+    requireSegment(segment)
+    val centroids = loadCentroids(batch.sparkSession, path)
+    publishSegment(batch.sparkSession, deltaRoot.getOrElse(path),
+      s"delta_$segment") { tmp =>
+      graft.ops.Partitioning.spread(batch)
+        .withColumn("cell", cellColumn(centroids))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/assigned")
+    }
+  }
+
+  /** ANN deletion (round-11 ask #3): land a batch of `vec_id`s as a named
+    * TOMBSTONE segment — O(batch), no index rewrite. [[loadIvfWithDeltas]]
+    * anti-joins tombstones at serve time, so deleted vectors vanish from
+    * probes immediately; [[ivfCompactTo]] physically reclaims them (the
+    * compacted generation carries neither deltas nor tombstones).
+    * Tombstones DOMINATE admissions regardless of segment order —
+    * re-admitting a tombstoned id requires compacting first (the contract
+    * a set-union of segments can support without ordering metadata).
+    * Same atomic publish and idempotent re-delete as [[ivfAdmit]]. */
+  def ivfDelete(path: String, ids: DataFrame, segment: String,
+      deltaRoot: Option[String] = None): Unit = {
+    requireSegment(segment)
+    publishSegment(ids.sparkSession, deltaRoot.getOrElse(path),
+      s"tomb_$segment") { tmp =>
+      ids.select(col("vec_id")).write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+  }
+
+  private def requireSegment(segment: String): Unit =
     require(segment.nonEmpty && segment.forall(c => c.isLetterOrDigit || c == '-'),
       s"segment must be alphanumeric/dash, got '$segment'")
-    val centroids = loadCentroids(batch.sparkSession, path)
-    graft.ops.Partitioning.spread(batch)
-      .withColumn("cell", cellColumn(centroids))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/delta_$segment/assigned")
+
+  /** Published (non-staging) segment dirs with `prefix` under each root,
+    * sorted per root for deterministic union order. */
+  private def listSegments(conf: org.apache.hadoop.conf.Configuration,
+      roots: Seq[String], prefix: String): Seq[String] = roots.flatMap { r =>
+    val p = new org.apache.hadoop.fs.Path(r)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty[String]
+    else fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Publish `<root>/<dirName>` ATOMICALLY (round-11 ask #5): `write`
+    * lands in a dot-prefixed staging dir — hidden from parquet discovery
+    * AND from [[loadIvfWithDeltas]]' `delta_`/`tomb_` listing — then ONE
+    * rename makes it visible. Parquet's own overwrite is
+    * delete-then-write, so a crash mid-admission used to leave a torn
+    * segment that served garbage until the next run healed it; with the
+    * staging rename a concurrent or crash-interrupted load sees either
+    * the old complete segment or none (SimilaritySpec pins both). A crash
+    * can strand only the hidden staging dir, which the next publish of
+    * that segment wipes. This also closes the listStatus race flagged in
+    * round 11: an in-flight admission is invisible to a concurrent
+    * [[loadIvfWithDeltas]] until the rename. */
+  private def publishSegment(spark: org.apache.spark.sql.SparkSession,
+      root: String, dirName: String)(write: String => Unit): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(rootP, s".staging_$dirName")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(rootP, dirName)
+    // Re-publication (idempotent re-admission) swaps old for new; the
+    // crash window between delete and rename leaves NO segment — "old
+    // complete or none", never torn.
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"segment publish rename failed: $tmp -> $dst")
   }
 
   /** Compact a delta'd IVF index into a FRESH generation at `outPath`:
@@ -216,7 +280,10 @@ object Similarity {
     * generation keeps serving probes while the compaction writes, and the
     * caller swaps pointers after — the [[graft.ArtifactMemo]] generation
     * discipline. This is the off-peak maintenance that keeps probe fan-in
-    * (segments per cell) constant as admission batches accumulate. */
+    * (segments per cell) constant as admission batches accumulate.
+    * Tombstoned rows are PHYSICALLY RECLAIMED here (the read path already
+    * anti-joins them), and the compacted generation carries neither
+    * `delta_` nor `tomb_` dirs — SimilaritySpec pins both freedoms. */
   def ivfCompactTo(spark: org.apache.spark.sql.SparkSession, path: String,
       outPath: String): Unit = {
     loadIvfWithDeltas(spark, path).assigned
@@ -234,21 +301,37 @@ object Similarity {
     * a probe's cell filter partition-prunes across all segments alike.
     * Deterministic segment order (sorted names). */
   def loadIvfWithDeltas(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfIndex = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
-      .map(st => s"${st.getPath.toString}/assigned")
-      .sorted
+      path: String, deltaRoots: Option[Seq[String]] = None): IvfIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // `deltaRoots = None`: segments co-located with the base (the default
+    // layout q162/q163 admit into). `Some(roots)`: segments read ONLY
+    // from `roots` — the layout an EXTERNAL admission stream or deletion
+    // queue writes (q164/q165), which keeps the shared base generation
+    // immutable and the board's queries order-independent: a probe never
+    // sees another query's co-located segments by accident.
+    val roots = deltaRoots.getOrElse(Seq(path))
+    def segments(prefix: String): Seq[String] = listSegments(conf, roots, prefix)
     // One read PER segment root, unioned: a multi-path read would make
     // Spark hunt for a common partition-discovery base across
     // `assigned/cell=N` and `delta_x/assigned/cell=N` and reject the
     // layout as conflicting. Each scan keeps its own cell-partition
-    // pruning; the union of pruned scans is still pruned.
-    val assigned = (s"$path/assigned" +: deltas.toSeq)
+    // pruning; the union of pruned scans is still pruned (a probe's cell
+    // filter pushes through the union AND through the anti-join's left
+    // side alike).
+    val assignedAll = (s"$path/assigned" +: segments("delta_").map(d => s"$d/assigned"))
       .map(spark.read.parquet(_))
       .reduce(_ unionByName _)
+    val tombs = segments("tomb_").map(t => s"$t/ids")
+    val assigned =
+      if (tombs.isEmpty) assignedAll
+      else {
+        // Tombstones are deletion batches — tiny next to the corpus, so
+        // Catalyst broadcasts the anti-join's right side off its file
+        // stats; at a scale where tombstones rival the base, compaction
+        // is overdue and [[ivfCompactTo]] resets them to zero.
+        val ids = tombs.map(spark.read.parquet(_)).reduce(_ unionByName _).distinct()
+        assignedAll.join(ids, Seq("vec_id"), "left_anti")
+      }
     IvfIndex(assigned, loadCentroids(spark, path))
   }
 
@@ -443,6 +526,75 @@ object Similarity {
       (if (scored.length == 1) lit(0) else least(scored: _*).getField("i")).cast("int")
     }
     embeddings.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** Persist a PQ index: the encoded corpus as parquet, the codebooks as
+    * a JSON sidecar — the [[saveIvf]] contract for the PQ family (build
+    * once, probe across sessions; the admission path loads the SAME
+    * codebooks the build wrote, so the two can never encode
+    * differently). */
+  def savePq(encoded: DataFrame, cb: PqCodebooks, path: String): Unit = {
+    encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    val books = cb.books.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val json = s"""{"m":${cb.m},"k":${cb.k},"dsub":${cb.dsub},"books":$books}"""
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebooks.json")
+    val fs = p.getFileSystem(
+      encoded.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebooks = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebooks.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no codebooks sidecar at $p")
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val parsed = JsonMethods.parse(raw)
+    PqCodebooks(
+      (parsed \ "m").extract[Int], (parsed \ "k").extract[Int],
+      (parsed \ "dsub").extract[Int],
+      (parsed \ "books").extract[List[List[List[Double]]]]
+        .map(_.map(_.toArray).toArray).toArray)
+  }
+
+  /** O(batch) PQ admission (round-11 ask #4): encode an append batch
+    * under the EXISTING persisted codebooks — [[pqEncode]], the exact
+    * function the build ran, so admitted codes can never diverge from a
+    * one-shot encode (SimilaritySpec pins equality) — and publish it as
+    * an atomic delta segment next to (or, with `deltaRoot`, apart from)
+    * the base. No codebook refit, no corpus re-scan: the IVF admission
+    * contract applied to the PQ index. */
+  def pqAdmit(path: String, batch: DataFrame, segment: String,
+      deltaRoot: Option[String] = None): Unit = {
+    requireSegment(segment)
+    val cb = loadPqCodebooks(batch.sparkSession, path)
+    publishSegment(batch.sparkSession, deltaRoot.getOrElse(path),
+      s"delta_$segment") { tmp =>
+      pqEncode(graft.ops.Partitioning.spread(batch), cb)
+        .write.mode("overwrite").parquet(s"$tmp/encoded")
+    }
+  }
+
+  /** Load a persisted PQ index plus its delta segments as ONE encoded
+    * relation ([[loadIvfWithDeltas]]' root semantics: `None` = segments
+    * co-located with the base; `Some(roots)` = segments ONLY from
+    * `roots`, base generation immutable). */
+  def loadPqWithDeltas(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaRoots: Option[Seq[String]] = None): (PqCodebooks, DataFrame) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val roots = deltaRoots.getOrElse(Seq(path))
+    val encoded = (s"$path/encoded" +:
+      listSegments(conf, roots, "delta_").map(d => s"$d/encoded"))
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+    (loadPqCodebooks(spark, path), encoded)
   }
 
   /** Two-stage PQ search (asymmetric distance computation): the coarse

@@ -297,8 +297,16 @@ class GraphSpec extends SparkSpec {
     val pairs = Graph.pairBase(Tables.lineitem(spark, sf))
     assert(rows(graft.ops.GraphEdges.degStack(spark, sf)) ==
       rows(Graph.symmetrizedDeg(pairs)))
-    assert(rows(graft.ops.GraphEdges.wStack(spark, sf)) ==
-      rows(Graph.symmetrizedW(pairs)))
+    // The FULL weighted stack is INTENTIONALLY lazy (no query loads it;
+    // materializing would be a ~240M-row sf10 write per fresh JVM for
+    // nothing) — so there is no artifact to compare, and a rows-equality
+    // check would compare the lazy plan to itself (round-11 advice: the
+    // old assertion here pinned nothing). Pin the design decision
+    // instead: warm() must NOT have written a full edges_w file.
+    val root = new java.io.File(graft.ops.GraphEdges.warm(spark, sf))
+    assert(!new java.io.File(root, "edges_w").exists(),
+      "full weighted stack unexpectedly materialized — if intentional, " +
+        "route wStack(subgraph=false) through it and assert rows here")
     val sub = pairs.filter(pmod(col("src"), lit(Graph.SubgraphModulus)) === 0 &&
       pmod(col("dst"), lit(Graph.SubgraphModulus)) === 0)
     assert(rows(graft.ops.GraphEdges.degStack(spark, sf, subgraph = true)) ==

@@ -10,6 +10,18 @@ sidecar keeps EVERY sample in `runs`, so the spread column in SCALING.md
 is computed over all JVMs' samples and a reader can judge any wall
 against its own variance.
 
+Probe attribution (round-11 advice): a per-query wall can win the merge
+min from a JVM whose box-calibration probe differs from the fastest
+probe across inputs — normalizing that wall by the min probe misstates
+it (~2x observed for q149 in r11). The merge therefore records:
+  - `box_calibrations`: EVERY input's probe, in input order;
+  - `query_probes`:     for each query, the shuffle probe of the JVM
+                        whose wall won the min — the ONLY probe that
+                        wall may be normalized by;
+  - `box_calibration`:  per-field min across inputs, kept for the
+                        whole-run comparisons it was introduced for
+                        (and for older tooling), NOT for per-query walls.
+
 Usage: merge_bench.py <out.json> <sidecar.json> [sidecar.json ...]
 A query failed in the merge only if it failed in EVERY input (a pass in
 any JVM proves the plan runs; `queries` then carries that JVM's best).
@@ -21,30 +33,40 @@ out_path, in_paths = sys.argv[1], sys.argv[2:]
 # Missing inputs are skipped LOUDLY instead of crashing: campaign scripts
 # list every sidecar a full run would produce, and a partial rerun (or a
 # script that never wrote one of them — the round-10 d_q149_sf3 case)
-# should merge what exists while making the gap visible. Zero readable
-# inputs is still a hard error — silently writing an empty merge would
-# let scaling_report regenerate SCALING.md from nothing.
+# should merge what exists while making the gap visible. ValueError
+# covers truncated/corrupt JSON (a bench killed by `timeout` mid-write —
+# which this campaign has actually hit) the same way as a missing file.
+# Zero readable inputs is still a hard error — silently writing an empty
+# merge would let scaling_report regenerate SCALING.md from nothing.
 sides = []
 for p in in_paths:
     try:
         sides.append(json.load(open(p)))
-    except OSError as e:
-        print(f"merge_bench: SKIPPING missing/unreadable sidecar {p}: {e}",
+    except (OSError, ValueError) as e:
+        print(f"merge_bench: SKIPPING missing/unreadable/corrupt sidecar {p}: {e}",
               file=sys.stderr)
 if not sides:
     sys.exit(f"merge_bench: no readable sidecars among {in_paths}")
 
 names = sorted({q for s in sides for q in s["queries"]}
                | {q for s in sides for q in s.get("failed", [])})
-queries, runs, failed = {}, {}, []
+queries, runs, failed, query_probes = {}, {}, [], {}
 for q in names:
     samples = [v for s in sides for v in s.get("runs", {}).get(q, [])]
-    bests = [s["queries"][q] for s in sides if q in s["queries"]]
+    bests = [(s["queries"][q], i) for i, s in enumerate(sides) if q in s["queries"]]
     if not bests:
         failed.append(q)
         continue
-    queries[q] = min(bests)
-    runs[q] = samples or bests
+    best, win = min(bests)
+    queries[q] = best
+    runs[q] = samples or [best]
+    # The probe that wall may be normalized by: the winning JVM's own.
+    # Nested sources: a merge-of-merges carries per-query probes already.
+    src = sides[win]
+    probe = src.get("query_probes", {}).get(
+        q, src.get("box_calibration", {}).get("shuffle_sec", -1))
+    if probe and probe > 0:
+        query_probes[q] = probe
 
 ml = {"q109_gbt_train_score"}
 total = sum(queries.values())
@@ -60,12 +82,13 @@ merged = {
     "sf": sides[0].get("sf", "?"),
     "merged_from": len(sides),
 }
-# Box calibration (round-10 ask #1): per-field min across the input JVMs —
-# the same best-of-N estimator the query walls use. Present only if at
-# least one input carried it (older sidecars predate the probe).
+if query_probes:
+    merged["query_probes"] = query_probes
+# Every input's probe, in input order (round-11 advice) — so a reader can
+# see the spread the min hides. <= 0 is the probe-failed sentinel.
 cals = [s["box_calibration"] for s in sides if "box_calibration" in s]
 if cals:
-    # <= 0 is the probe-failed sentinel — never let it win the min.
+    merged["box_calibrations"] = cals
     cal = {}
     for k in sorted({k for c in cals for k in c}):
         vals = [c[k] for c in cals if c.get(k, -1) > 0]

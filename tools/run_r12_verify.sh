@@ -1,0 +1,48 @@
+#!/bin/bash
+# Round-12 verify phase: full board at sf0.01 (gate parity) and sf0.1.
+# Board this round: 166 queries (q164_stream_ivf_admit / q165_ivf_delete /
+# q166_pq_admit NEW — ANN lifecycle family, rows-only by design, each
+# exact-equality spec-backed in SimilaritySpec). Touched surface vs r11:
+# the five PageRank variants' pinned stacks are now hash-partitioned by
+# src (q149/q151/q155/q160/q161 — result-identical, plan-only change),
+# the IVF delta/tombstone load path (q162/q163 internals), and the atomic
+# segment publish. Every step skips itself if its output already exists
+# (idempotent resume).
+set -u
+cd /root/repo
+mkdir -p /tmp/campaign12
+SKIP_NAIVE="q127_cluster_canonical q137_pareto_parts q28_ngram_jaccard q35_embedding_neardup q69_embedding_clusters"
+
+for pair in "/root/testdata/sf0.01 sf001" "/root/testdata/sf0.1 sf01"; do
+  set -- $pair; SFDIR=$1; TAG=$2
+  if [ -s "/tmp/verify_r12_$TAG/oracle_sql.json" ]; then
+    echo "=== verify $TAG dump SKIPPED (exists)"
+  else
+    echo "=== verify $TAG dump ($(date +%H:%M:%S))"
+    rm -rf /tmp/verify_r12_$TAG
+    SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 timeout 7200 sbt -batch \
+      "runMain graft.Verify $SFDIR /tmp/verify_r12_$TAG" \
+      > /tmp/campaign12/${TAG}_dump.log 2>&1
+    echo "dump exit=$? failures: $(grep -c '\[verify\].*failed' /tmp/campaign12/${TAG}_dump.log)"
+  fi
+  if [ -s "/tmp/campaign12/oracle_${TAG}_naive.log" ] && grep -q "oracle queries match" /tmp/campaign12/oracle_${TAG}_naive.log; then
+    echo "=== oracle $TAG SKIPPED (exists)"
+  else
+    ONLY=$(python3 - <<PYEOF
+import json
+names = sorted(json.load(open('/tmp/verify_r12_$TAG/oracle_sql.json')))
+skip = set("$SKIP_NAIVE".split())
+print(",".join(n for n in names if n not in skip))
+PYEOF
+)
+    timeout 7200 python3 tools/check_oracle.py $SFDIR /tmp/verify_r12_$TAG "$ONLY" \
+      > /tmp/campaign12/oracle_${TAG}_naive.log 2>&1
+    echo "naive exit=$?"; tail -2 /tmp/campaign12/oracle_${TAG}_naive.log
+    for t in pairs q69 q127 q137; do
+      timeout 3600 python3 tools/check_${t}_collapsed.py $SFDIR /tmp/verify_r12_$TAG \
+        > /tmp/campaign12/oracle_${TAG}_${t}.log 2>&1
+      echo "$t exit=$?: $(tail -1 /tmp/campaign12/oracle_${TAG}_${t}.log)"
+    done
+  fi
+done
+echo "=== r12 verify phase done ($(date +%H:%M:%S))"
