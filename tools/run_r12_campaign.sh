@@ -46,6 +46,20 @@ else
     /tmp/campaign12/oracle_sf3_naive.log
 fi
 
+bench () { # $1 sfdir  $2 out.json  $3 only-filter (or empty)
+  if [ -s "$2" ]; then echo "bench $2 SKIPPED (exists)"; return; fi
+  local envonly=()
+  [ -n "$3" ] && envonly=(SPARK_GRAFT_ONLY="$3")
+  env SPARK_DRIVER_MEM=32g SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_BENCH_OUT="$2" \
+      "${envonly[@]}" timeout 10800 sbt -batch "runMain graft.Bench" \
+      > "/tmp/campaign12/$(basename "$2" .json).log" 2>&1
+  echo "bench $2 exit=$? ($(date +%H:%M:%S))"
+}
+
+echo "=== phase E: dedicated sf10 samples ($(date +%H:%M:%S))"
+bench /tmp/graft_sf10 /tmp/campaign12/e_q149_q155_sf10.json "q149_copurchase_pagerank,q155_pagerank_converged_subgraph"
+
 if [ -s /root/repo/CORRECTNESS_SF10_r12.json ]; then
   echo "=== phase S3 SKIPPED (artifact exists)"
 else
@@ -80,20 +94,6 @@ PYEOF
     /tmp/campaign12/oracle_sf10_q69.log /tmp/campaign12/oracle_sf10_q127.log \
     /tmp/campaign12/oracle_sf10_q137.log /tmp/campaign12/oracle_sf10_q146.log
 fi
-
-bench () { # $1 sfdir  $2 out.json  $3 only-filter (or empty)
-  if [ -s "$2" ]; then echo "bench $2 SKIPPED (exists)"; return; fi
-  local envonly=()
-  [ -n "$3" ] && envonly=(SPARK_GRAFT_ONLY="$3")
-  env SPARK_DRIVER_MEM=32g SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
-      SPARK_GRAFT_BENCH_OUT="$2" \
-      "${envonly[@]}" timeout 10800 sbt -batch "runMain graft.Bench" \
-      > "/tmp/campaign12/$(basename "$2" .json).log" 2>&1
-  echo "bench $2 exit=$? ($(date +%H:%M:%S))"
-}
-
-echo "=== phase E: dedicated sf10 samples ($(date +%H:%M:%S))"
-bench /tmp/graft_sf10 /tmp/campaign12/e_q149_q155_sf10.json "q149_copurchase_pagerank,q155_pagerank_converged_subgraph"
 
 echo "=== phase B: bench matrix, sf10-first ($(date +%H:%M:%S))"
 bench /tmp/graft_sf10    /tmp/campaign12/b_sf10_a.json "$HEAVY"
