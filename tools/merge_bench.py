@@ -59,7 +59,10 @@ for q in names:
         continue
     best, win = min(bests)
     queries[q] = best
-    runs[q] = samples or [best]
+    # Legacy inputs (no `runs` field) fall back to EVERY JVM's best wall,
+    # not just the winner's — dropping the losers would silently degrade
+    # the spread column to "-" for pre-r12 sidecars (round-12 advice).
+    runs[q] = samples or [b for b, _ in bests]
     # The probe that wall may be normalized by: the winning JVM's own.
     # Nested sources: a merge-of-merges carries per-query probes already.
     src = sides[win]
