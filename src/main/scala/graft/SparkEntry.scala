@@ -185,7 +185,8 @@ object SparkEntry {
     "q155_pagerank_converged_subgraph", "q156_clustering_coefficient",
     "q157_kcore", "q159_assortativity", "q160_weighted_pagerank_subgraph",
     "q161_ppr_subgraph", "q162_ivf_admit", "q163_ivf_compact",
-    "q164_stream_ivf_admit", "q165_ivf_delete", "q166_pq_admit")
+    "q164_stream_ivf_admit", "q165_ivf_delete", "q166_pq_admit",
+    "q167_pq_delete", "q168_ivf_imbalance", "q169_external_compact")
 
   /** Bench-only entries — NOT on the oracle board ([[queries]]), reachable
     * via SPARK_GRAFT_ONLY so a campaign can track their walls per round.
@@ -1297,7 +1298,10 @@ object SparkEntry {
     "q164_stream_ivf_admit" -> ((s, d) => {
       val base = ivfAdmitBasePath(s, d)
       val deltaRoot = WorkDirs.fresh("q164_stream_admit")
-      graft.streaming.EmbeddingStreams.ivfAdmissionStream(s, d, base, deltaRoot)
+      // The "new arrivals" slice is the operator's parameter now (the
+      // q162 framing passed explicitly, not hardcoded in the stream).
+      graft.streaming.EmbeddingStreams.ivfAdmissionStream(s, d, base, deltaRoot,
+        newSlice = pmod(col("vec_id"), lit(10)) === 0)
       Similarity.ivfKnnJoin(
         Similarity.loadIvfWithDeltas(s, base, deltaRoots = Some(Seq(deltaRoot))),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
@@ -1342,6 +1346,69 @@ object SparkEntry {
       val (cb, enc) = Similarity.loadPqWithDeltas(s, base,
         deltaRoots = Some(Seq(deltaRoot)))
       Similarity.pqTopK(enc, cb, 0, 20)
+    }),
+    // PQ deletion parity (round-12 ask #3) — q165's lifecycle verb on
+    // the PQ index: admit the new slice under the persisted codebooks,
+    // land a data-derived delete batch as an O(batch) tombstone segment
+    // (same format and writer as IVF — only vec_ids), and probe the
+    // two-stage search over the masked encoded relation. The deleted
+    // set (vec_id % 7 == 3) hits base AND delta rows; the probe id 0 is
+    // not deleted. Rows-only; SimilaritySpec pins probe-over-tombstones
+    // == probe-over-physical-rebuild, compaction reclaim, and tombstone
+    // dominance over later re-admission.
+    "q167_pq_delete" -> ((s, d) => {
+      val base = pqAdmitBasePath(s, d)
+      val deltaRoot = WorkDirs.fresh("q167_pq_delete")
+      Similarity.pqAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        "b0", deltaRoot = Some(deltaRoot))
+      Similarity.pqDelete(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")),
+        "t0", deltaRoot = Some(deltaRoot))
+      val (cb, enc) = Similarity.loadPqWithDeltas(s, base,
+        deltaRoots = Some(Seq(deltaRoot)))
+      Similarity.pqTopK(enc, cb, 0, 20)
+    }),
+    // Cell-imbalance drift monitor (round-12 ask #4): ivfAdmit's doc
+    // promises the quantizer ages only via cell IMBALANCE — this is the
+    // query that measures it, over exactly the production layout the
+    // lifecycle queries maintain (persisted base + admitted delta). One
+    // map-side-combined count per cell, window arithmetic over
+    // nlist rows. Rows-only (cell ids are quantizer-derived);
+    // SimilaritySpec pins that the metric detects a deliberately skewed
+    // admission batch and that occupancy sums to the corpus.
+    "q168_ivf_imbalance" -> ((s, d) => {
+      val base = ivfAdmitBasePath(s, d)
+      Similarity.ivfAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        segment = "b0")
+      Similarity.ivfCellStats(Similarity.loadIvfWithDeltas(s, base))
+    }),
+    // External-root compaction (round-12 ask #2): the q164/q165
+    // streaming/deletion layout — segments accumulating in a root APART
+    // from the immutable base generation — folded into a fresh
+    // single-base generation: admit + delete into the external root,
+    // compact THAT layout (deltaRoots passed through to the load), then
+    // probe the compacted index. Closes the lifecycle loop the
+    // streaming layout was missing: without it the external root grew
+    // forever and its tombstones were never physically reclaimed.
+    // Rows-only; SimilaritySpec pins compacted == masked content,
+    // delta- and tomb-free, source untouched.
+    "q169_external_compact" -> ((s, d) => {
+      val base = ivfAdmitBasePath(s, d)
+      val deltaRoot = WorkDirs.fresh("q169_external_compact")
+      Similarity.ivfAdmit(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        "b0", deltaRoot = Some(deltaRoot))
+      Similarity.ivfDelete(base,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")),
+        "t0", deltaRoot = Some(deltaRoot))
+      val out = WorkDirs.fresh("q169_external_compact_out")
+      Similarity.ivfCompactTo(s, base, out, deltaRoots = Some(Seq(deltaRoot)))
+      Similarity.ivfKnnJoin(Similarity.loadIvf(s, out),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
     }))
 
   /** q140's history/batch split point (strictly-before vs at-or-after, so

@@ -158,11 +158,29 @@ object Similarity {
     val json = index.centroids.map { case (i, c) =>
       s"""{"i":$i,"c":[${c.mkString(",")}]}"""
     }.mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    writeSidecarAtomic(spark, s"$path/centroids.json", json)
+  }
+
+  /** Write a small JSON sidecar via staged rename (round-12 advice: the
+    * bare `create(path, overwrite = true)` truncates in place, so a
+    * crash mid-write left a torn sidecar that failed the next load —
+    * the one non-atomic publish remaining in the family). Bytes land in
+    * a dot-prefixed temp file first; `FileContext.rename(OVERWRITE)`
+    * swaps it in on rename-atomic stores (local FS, HDFS). Publication
+    * of a whole GENERATION stays the caller's pointer swap (the
+    * ArtifactMemo discipline) — this only removes the torn-file state
+    * within a generation dir. */
+  private def writeSidecarAtomic(spark: org.apache.spark.sql.SparkSession,
+      pathStr: String, json: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p0 = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p0.getFileSystem(conf)
+    val p = fs.makeQualified(p0)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".staging_${p.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Load a persisted IVF index. The assignment frame stays disk-backed
@@ -233,16 +251,35 @@ object Similarity {
     require(segment.nonEmpty && segment.forall(c => c.isLetterOrDigit || c == '-'),
       s"segment must be alphanumeric/dash, got '$segment'")
 
-  /** Published (non-staging) segment dirs with `prefix` under each root,
-    * sorted per root for deterministic union order. */
+  /** Published segment dirs with `prefix` under each root, sorted per
+    * root by segment name for deterministic union order.
+    *
+    * Crash-recovery fallback (round-12 advice): a re-publication that
+    * died between [[publishSegment]]'s two renames leaves the OLD
+    * segment parked at `.old_<name>` and nothing at `<name>`. Serving
+    * the parked copy keeps "old complete" true even inside that window
+    * — read-only, no repair writes, so a load can never race an
+    * in-flight publish's rename. This matters most for `tomb_`
+    * segments, where serving "none" would resurrect deleted vectors
+    * until the re-publication completed. A published name always wins
+    * over its parked copy (the crash-after-swap state has both). */
   private def listSegments(conf: org.apache.hadoop.conf.Configuration,
       roots: Seq[String], prefix: String): Seq[String] = roots.flatMap { r =>
     val p = new org.apache.hadoop.fs.Path(r)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty[String]
-    else fs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath.toString).sorted.toSeq
+    else {
+      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+      val published = dirs.filter(_.getName.startsWith(prefix))
+      val pubNames = published.map(_.getName).toSet
+      val parked = dirs.filter { d =>
+        d.getName.startsWith(s".old_$prefix") &&
+          !pubNames.contains(d.getName.stripPrefix(".old_"))
+      }
+      (published.map(d => (d.getName, d.toString)) ++
+        parked.map(d => (d.getName.stripPrefix(".old_"), d.toString)))
+        .sortBy(_._1).map(_._2)
+    }
   }
 
   /** Publish `<root>/<dirName>` ATOMICALLY (round-11 ask #5): `write`
@@ -265,11 +302,24 @@ object Similarity {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     write(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(rootP, dirName)
-    // Re-publication (idempotent re-admission) swaps old for new; the
-    // crash window between delete and rename leaves NO segment — "old
-    // complete or none", never torn.
-    if (fs.exists(dst)) fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(rootP, s".old_$dirName")
+    // Re-publication swaps old for new via rename-aside (round-12
+    // advice): the previous delete-then-rename left a window — and a
+    // crash state — with NO segment, which for tomb_ segments meant
+    // previously deleted vectors were served again until the tombstone
+    // was re-published. Now the old segment is parked at `.old_<name>`
+    // (two metadata renames, no recursive delete in between), and
+    // [[listSegments]] serves the parked copy whenever the published
+    // name is absent — so a crash at ANY point leaves readers on the
+    // old complete segment, never on none and never on torn bytes.
+    if (fs.exists(dst)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(dst, old), s"segment park rename failed: $dst -> $old")
+    }
     require(fs.rename(tmp, dst), s"segment publish rename failed: $tmp -> $dst")
+    // Retire the parked copy only AFTER the new segment is visible; a
+    // leftover (crash-after-swap) is shadowed by the published name.
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** Compact a delta'd IVF index into a FRESH generation at `outPath`:
@@ -283,14 +333,25 @@ object Similarity {
     * (segments per cell) constant as admission batches accumulate.
     * Tombstoned rows are PHYSICALLY RECLAIMED here (the read path already
     * anti-joins them), and the compacted generation carries neither
-    * `delta_` nor `tomb_` dirs — SimilaritySpec pins both freedoms. */
+    * `delta_` nor `tomb_` dirs — SimilaritySpec pins both freedoms.
+    *
+    * `deltaRoots` has [[loadIvfWithDeltas]]' semantics (round-12 ask
+    * #2): `None` folds the segments co-located with the base; `Some`
+    * folds an EXTERNAL root's segments — the layout a streaming
+    * admission (q164) or deletion queue (q165) accumulates, which
+    * previously had no compaction entry point and so grew forever. */
   def ivfCompactTo(spark: org.apache.spark.sql.SparkSession, path: String,
-      outPath: String): Unit = {
-    loadIvfWithDeltas(spark, path).assigned
+      outPath: String, deltaRoots: Option[Seq[String]] = None): Unit = {
+    loadIvfWithDeltas(spark, path, deltaRoots).assigned
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/assigned")
+    copySidecar(spark, s"$path/centroids.json", s"$outPath/centroids.json")
+  }
+
+  private def copySidecar(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val dst = new org.apache.hadoop.fs.Path(s"$outPath/centroids.json")
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
     org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
       dst.getFileSystem(conf), dst, false, true, conf)
     ()
@@ -430,6 +491,45 @@ object Similarity {
       .orderBy("q_vec_id", "knn_rank")
   }
 
+  /** Cell-imbalance drift monitor (round-12 ask #4): per-cell occupancy
+    * of an IVF index — base + admitted deltas — plus the aggregate skew
+    * signal that tells an operator when compaction-WITH-REFIT is due.
+    * [[ivfAdmit]]'s contract is that the fixed quantizer ages ONLY via
+    * cell imbalance (assignments are never silently stale); this is the
+    * query that makes that aging visible, the q110-recall discipline
+    * applied to index health.
+    *
+    * Output: one row per quantizer cell (EMPTY cells included — a cell
+    * the corpus has drifted away from is as much a signal as an
+    * overfull one), with `n_vectors`, `share` of the corpus,
+    * `cell_skew` = n / (total/nlist) (1.0 = perfectly balanced), and
+    * the global `imbalance_ratio` = max-cell skew repeated on every row
+    * (the single number a monitor alerts on; nprobe-probe cost scales
+    * with the fattest probed cell, so max-over-mean IS the probe-cost
+    * regression).
+    *
+    * Scale shape: one map-side-combined count per cell over the
+    * assigned relation (partition-pruned parquet scans at rest), then
+    * window arithmetic over nlist rows — the post-aggregation frame is
+    * quantizer-sized, never corpus-sized. */
+  def ivfCellStats(index: IvfIndex, roundDigits: Int = 6): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val nlist = index.centroids.length
+    val cells = index.centroids.map(_._1).toSeq.toDF("cell")
+    val counts = index.assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    cells.join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+      .withColumn("__tot", sum(col("n_vectors")).over(w))
+      .withColumn("__max", max(col("n_vectors")).over(w))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors") / col("__tot"), roundDigits).as("share"),
+        round(col("n_vectors") * lit(nlist) / col("__tot"), roundDigits).as("cell_skew"),
+        round(col("__max") * lit(nlist) / col("__tot"), roundDigits).as("imbalance_ratio"))
+      .orderBy("cell")
+  }
+
   /** Driver-local Lloyd k-means over a bounded sample — the coarse-quantizer
     * fit. A few thousand points × a few dozen iterations is microseconds of
     * driver CPU; running this distributed (as a per-query ml.KMeans fit did)
@@ -538,12 +638,7 @@ object Similarity {
     val books = cb.books.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val json = s"""{"m":${cb.m},"k":${cb.k},"dsub":${cb.dsub},"books":$books}"""
-    val p = new org.apache.hadoop.fs.Path(s"$path/codebooks.json")
-    val fs = p.getFileSystem(
-      encoded.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    writeSidecarAtomic(encoded.sparkSession, s"$path/codebooks.json", json)
   }
 
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
@@ -582,19 +677,54 @@ object Similarity {
     }
   }
 
+  /** ANN deletion for the PQ index (round-12 ask #3): the tombstone
+    * segment format carries only `vec_id`s — independent of the index
+    * family — so this IS [[ivfDelete]]'s writer; what differs is the
+    * serve path ([[loadPqWithDeltas]] anti-joins `tomb_` segments over
+    * the encoded relation) and the physical reclaim ([[pqCompactTo]]).
+    * Tombstones dominate later [[pqAdmit]]s of the same id — the same
+    * set-union contract, SimilaritySpec-pinned. */
+  def pqDelete(path: String, ids: DataFrame, segment: String,
+      deltaRoot: Option[String] = None): Unit =
+    ivfDelete(path, ids, segment, deltaRoot)
+
   /** Load a persisted PQ index plus its delta segments as ONE encoded
-    * relation ([[loadIvfWithDeltas]]' root semantics: `None` = segments
-    * co-located with the base; `Some(roots)` = segments ONLY from
-    * `roots`, base generation immutable). */
+    * relation, minus any tombstoned ids ([[loadIvfWithDeltas]]' root and
+    * tombstone semantics: `None` = segments co-located with the base;
+    * `Some(roots)` = segments ONLY from `roots`, base generation
+    * immutable; `tomb_` segments anti-joined at serve time with the tiny
+    * deletion side broadcast off file stats). */
   def loadPqWithDeltas(spark: org.apache.spark.sql.SparkSession,
       path: String, deltaRoots: Option[Seq[String]] = None): (PqCodebooks, DataFrame) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val roots = deltaRoots.getOrElse(Seq(path))
-    val encoded = (s"$path/encoded" +:
+    val encodedAll = (s"$path/encoded" +:
       listSegments(conf, roots, "delta_").map(d => s"$d/encoded"))
       .map(spark.read.parquet(_))
       .reduce(_ unionByName _)
+    val tombs = listSegments(conf, roots, "tomb_").map(t => s"$t/ids")
+    val encoded =
+      if (tombs.isEmpty) encodedAll
+      else {
+        val ids = tombs.map(spark.read.parquet(_)).reduce(_ unionByName _).distinct()
+        encodedAll.join(ids, Seq("vec_id"), "left_anti")
+      }
     (loadPqCodebooks(spark, path), encoded)
+  }
+
+  /** Compact a delta'd/tombstoned PQ index into a FRESH generation at
+    * `outPath` — [[ivfCompactTo]]'s contract on the encoded relation:
+    * one pass over the INDEX files (codes are already assigned, the
+    * codebooks never refit — the sidecar is copied verbatim), tombstoned
+    * rows physically reclaimed, no `delta_`/`tomb_` dirs in the output.
+    * Non-destructive: the source generation keeps serving while this
+    * writes; the caller swaps pointers after. `deltaRoots` as in
+    * [[loadPqWithDeltas]]. */
+  def pqCompactTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String, deltaRoots: Option[Seq[String]] = None): Unit = {
+    loadPqWithDeltas(spark, path, deltaRoots)._2
+      .write.mode("overwrite").parquet(s"$outPath/encoded")
+    copySidecar(spark, s"$path/codebooks.json", s"$outPath/codebooks.json")
   }
 
   /** Two-stage PQ search (asymmetric distance computation): the coarse

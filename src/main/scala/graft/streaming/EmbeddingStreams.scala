@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,24 +29,30 @@ object EmbeddingStreams {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** Replay the corpus's "new" slice (`vec_id % 10 == 0` — the q162
-    * framing: the base index holds the other 90%) as a stream and admit
-    * each micro-batch into `deltaRoot` as segment `sb<batchId>`. The
-    * base generation at `basePath` is never written — only its centroid
-    * sidecar is read — so concurrent probes of the base (and the board's
-    * other lifecycle queries) are unaffected. Per-batch state is the
-    * quantizer on disk; the delta root grows with ingest, not with
-    * stream length squared. */
+  /** Admit the arriving slice of an embeddings directory as a stream:
+    * each micro-batch lands in `deltaRoot` as segment `sb<batchId>`.
+    * `newSlice` selects which rows of the source count as "new"
+    * arrivals — a REAL append stream passes `lit(true)` (everything in
+    * the watched directory is new); the default keeps the board's q162
+    * framing (`vec_id % 10 == 0`; the base index holds the other 90%),
+    * as a parameter rather than a hardcode so the operator is reusable
+    * beyond that fixture (round-12 nit). The base generation at
+    * `basePath` is never written — only its centroid sidecar is read —
+    * so concurrent probes of the base (and the board's other lifecycle
+    * queries) are unaffected. Per-batch state is the quantizer on disk;
+    * the delta root grows with ingest, not with stream length
+    * squared. */
   def ivfAdmissionStream(spark: SparkSession, sfDir: String,
       basePath: String, deltaRoot: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      newSlice: Column = pmod(col("vec_id"), lit(10)) === 0): Unit = {
     val ss = EventStreams.streamSession(spark)
     val reader = ss.readStream
       .schema(embeddingsSchema)
       .option("pathGlobFilter", "embeddings*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(sfDir)
-      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .filter(newSlice)
     val chk = graft.WorkDirs.fresh("ivf_admit_chk")
     val q = stream.writeStream
       .option("checkpointLocation", chk)

@@ -470,13 +470,66 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
     Similarity.ivfAdmit(path, batch, "b0")
     assert(!new java.io.File(path, ".staging_delta_b0").exists())
     assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)) == full)
-    // Crash BETWEEN the publish's delete and rename: no segment at all —
-    // the load serves the base, never a partial delta.
+    // A segment removed OUT-OF-BAND (not via publish — e.g. manual
+    // cleanup) degrades to base-only: the load never invents rows. The
+    // publish path itself no longer has a no-segment state — its
+    // rename-aside swap is pinned by the mid-swap crash test below.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/delta_b0"), true)
     assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)).size ==
       base.count(), "a missing segment did not degrade to base-only")
+  }
+
+  test("re-publication crash mid-swap serves the parked old segment; tombstones never resurrect") {
+    // Round-12 advice: the old delete-then-rename republish had a crash
+    // state with NO segment — benign for deltas, but a tombstone's
+    // absence re-serves deleted vectors. publishSegment now parks the
+    // old segment at `.old_<name>` and listSegments serves the parked
+    // copy whenever the published name is absent, so every crash point
+    // leaves readers on a complete OLD segment.
+    val (base, batch) = baseAndBatch
+    val idx = Similarity.buildIvf(base, nlist = 8)
+    val path = tempDir("graft_ivf_swap")
+    Similarity.saveIvf(idx, path)
+    idx.unpersist()
+    Similarity.ivfAdmit(path, batch, "b0")
+    val full = keyedAssigned(Similarity.loadIvfWithDeltas(spark, path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def park(name: String): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/$name"),
+        new org.apache.hadoop.fs.Path(s"$path/.old_$name")))
+    // Crash state between the two renames: old parked, nothing published.
+    park("delta_b0")
+    assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)) == full,
+      "mid-swap crash state did not serve the parked old delta")
+    // Re-publication heals: parked copy retired, fresh segment served.
+    Similarity.ivfAdmit(path, batch, "b0")
+    assert(!new java.io.File(path, ".old_delta_b0").exists(),
+      "healing republish left the parked copy behind")
+    assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)) == full)
+    // The deletion-safety asymmetry the advice flagged: a tombstone
+    // caught mid-swap must KEEP masking its ids.
+    val dels = embeddings.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+    val delIds = dels.collect().map(_.getLong(0)).toSet
+    Similarity.ivfDelete(path, dels, "t0")
+    val masked = full.filterNot(r => delIds(r._1))
+    assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)) == masked)
+    park("tomb_t0")
+    assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)) == masked,
+      "a parked tombstone stopped masking — deleted ids resurrected mid-swap")
+    // Crash-after-swap state (published AND parked both present): the
+    // published name wins — no double-count, no stale rows.
+    Similarity.ivfDelete(path, dels, "t0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$path/tomb_t0")
+    val cpy = new org.apache.hadoop.fs.Path(s"$path/.old_tomb_t0")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      cpy.getFileSystem(conf), cpy, false, true, conf)
+    assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)) == masked,
+      "a leftover parked copy next to its published segment changed the serve")
   }
 
   test("streaming IVF admission settles to the one-shot admission under any carving") {
@@ -610,5 +663,155 @@ class SimilaritySpec extends SparkSpec with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine_sim"))).toSeq
     assert(combined == exact,
       "combined base+delta full-candidate PQ probe diverged from exact")
+  }
+
+  test("external-root compaction folds stream segments and tombstones into a fresh generation") {
+    // Round-12 ask #2: the q164/q165 layout — segments accumulating in a
+    // root APART from the immutable base — previously had no compaction
+    // entry point. ivfCompactTo(deltaRoots) must fold base + external
+    // segments minus external tombstones into a delta- and tomb-free
+    // generation, leaving both sources untouched.
+    val (base, batch) = baseAndBatch
+    val idx = Similarity.buildIvf(base, nlist = 8)
+    val path = tempDir("graft_ivf_extbase")
+    Similarity.saveIvf(idx, path)
+    idx.unpersist()
+    val root = tempDir("graft_ivf_extroot")
+    // Two admission segments (the per-micro-batch stream layout) + one
+    // tombstone, all external.
+    Similarity.ivfAdmit(path, batch.filter(pmod(col("vec_id"), lit(20)) === 0),
+      "sb0", deltaRoot = Some(root))
+    Similarity.ivfAdmit(path, batch.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+      "sb1", deltaRoot = Some(root))
+    val dels = embeddings.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+    val delIds = dels.collect().map(_.getLong(0)).toSet
+    Similarity.ivfDelete(path, dels, "t0", deltaRoot = Some(root))
+    val served = keyedAssigned(
+      Similarity.loadIvfWithDeltas(spark, path, Some(Seq(root))))
+    assert(served.nonEmpty && served.size < embeddings.count(),
+      "fixture must mask at least one row")
+    val out = tempDir("graft_ivf_extout")
+    Similarity.ivfCompactTo(spark, path, out, deltaRoots = Some(Seq(root)))
+    assert(keyedAssigned(Similarity.loadIvf(spark, out)) == served,
+      "compacted external-root content != tombstone-masked served content")
+    val outFiles = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(!outFiles.exists(n => n.startsWith("delta_") || n.startsWith("tomb_")),
+      s"compacted generation not segment-free: $outFiles")
+    val physical = spark.read.parquet(s"$out/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(physical.intersect(delIds).isEmpty,
+      "external-root compaction did not physically reclaim tombstoned rows")
+    // Sources untouched: the base's own layout still serves base rows
+    // only; the external root keeps its segments for the caller to
+    // retire after the pointer swap.
+    assert(keyedAssigned(Similarity.loadIvfWithDeltas(spark, path)).size ==
+      base.count(), "compaction mutated the base generation")
+    val rootFiles = new java.io.File(root).listFiles().map(_.getName)
+    assert(rootFiles.count(_.startsWith("delta_")) == 2 &&
+      rootFiles.count(_.startsWith("tomb_")) == 1,
+      "compaction mutated the external segment root")
+  }
+
+  test("PQ deletion: tombstones mask the encoded relation, equal the physical rebuild, compaction reclaims") {
+    // Round-12 ask #3: the q165 deletion contract on the PQ family.
+    val (base, batch) = baseAndBatch
+    val cb = Similarity.pqTrain(base)
+    val path = tempDir("graft_pq_del")
+    Similarity.savePq(Similarity.pqEncode(base, cb), cb, path)
+    Similarity.pqAdmit(path, batch, "b0")
+    val dels = embeddings.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+    val delIds = dels.collect().map(_.getLong(0)).toSet
+    assert(delIds.exists(_ % 10 == 0) && delIds.exists(_ % 10 != 0),
+      "fixture must hit base AND delta rows")
+    Similarity.pqDelete(path, dels, "t0")
+    val (cbL, enc) = Similarity.loadPqWithDeltas(spark, path)
+    val allIds = embeddings.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(enc.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      allIds -- delIds, "served encoded relation != content minus deleted ids")
+    // Probe over tombstones == probe over an index physically rebuilt
+    // without the deleted rows, under the SAME codebooks.
+    val n = embeddings.count().toInt
+    def top(df: org.apache.spark.sql.DataFrame, books: Similarity.PqCodebooks) =
+      Similarity.pqTopK(df, books, 0L, 10, candidates = n).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine_sim"))).toSeq
+    val probeTomb = top(enc, cbL)
+    val rebuilt = Similarity.pqEncode(
+      embeddings.filter(pmod(col("vec_id"), lit(7)) =!= 3), cb)
+    assert(probeTomb == top(rebuilt, cb),
+      "PQ probe over tombstones != probe over the physical rebuild")
+    assert(probeTomb.map(_._1).forall(!delIds(_)),
+      "a deleted id surfaced in a PQ probe")
+    // Compaction physically reclaims and drops every segment dir.
+    val out = tempDir("graft_pq_reclaim")
+    Similarity.pqCompactTo(spark, path, out)
+    val (cbC, encC) = Similarity.loadPqWithDeltas(spark, out)
+    def codes(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Int])] =
+      df.select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList: Seq[Int]))
+        .sortBy(_._1).toSeq
+    assert(codes(encC) == codes(enc) && cbC.k == cbL.k,
+      "compacted PQ generation != tombstone-masked content")
+    val outFiles = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(!outFiles.exists(n => n.startsWith("delta_") || n.startsWith("tomb_")),
+      s"compacted PQ generation not segment-free: $outFiles")
+    assert(spark.read.parquet(s"$out/encoded").select("vec_id").collect()
+      .map(_.getLong(0)).toSet.intersect(delIds).isEmpty,
+      "PQ compaction did not physically reclaim deleted rows")
+    // Dominance: re-admitting a tombstoned id leaves it deleted.
+    val one = delIds.min
+    Similarity.pqAdmit(path, embeddings.filter(col("vec_id") === one), "b9")
+    assert(!Similarity.loadPqWithDeltas(spark, path)._2
+      .select("vec_id").collect().map(_.getLong(0)).contains(one),
+      "a later PQ admission resurrected a tombstoned id")
+  }
+
+  test("cell stats cover every quantizer cell, sum to the corpus, and flag a skewed admission") {
+    // Round-12 ask #4: ivfAdmit's "the quantizer ages only via cell
+    // imbalance (visible, monitorable)" promise, measured. The metric
+    // must (a) account for every cell including empty ones, (b) sum to
+    // the served corpus, (c) move when an admission batch piles onto one
+    // cell — the drift signal that tells an operator compaction-with-
+    // refit is due.
+    val (base, batch) = baseAndBatch
+    val idx = Similarity.buildIvf(base, nlist = 8)
+    val path = tempDir("graft_ivf_stats")
+    Similarity.saveIvf(idx, path)
+    val nlist = idx.centroids.length
+    idx.unpersist()
+    val before = Similarity.ivfCellStats(
+      Similarity.loadIvfWithDeltas(spark, path)).collect()
+    assert(before.length == nlist, "stats must cover every quantizer cell")
+    assert(before.map(_.getAs[Long]("n_vectors")).sum == base.count())
+    val ratioBefore = before.head.getAs[Double]("imbalance_ratio")
+    assert(before.forall(r =>
+      math.abs(r.getAs[Double]("imbalance_ratio") - ratioBefore) < 1e-9),
+      "imbalance_ratio must be the same global value on every row")
+    assert(before.forall(r => math.abs(r.getAs[Double]("cell_skew") -
+      r.getAs[Long]("n_vectors").toDouble * nlist / base.count()) < 1e-4))
+    // Deliberately skewed admission: 2x-corpus-many copies of one vector
+    // (fresh ids) — they all land in a single cell.
+    val seed = embeddings.filter(col("vec_id") === 0)
+      .select("embedding", "label").head()
+    val spark2 = spark
+    import spark2.implicits._
+    val copies = (1 to 2 * base.count().toInt)
+      .map(i => (1000000L + i, seed.getSeq[Float](0), seed.getInt(1)))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.ivfAdmit(path, copies, "skew")
+    val ixAfter = Similarity.loadIvfWithDeltas(spark, path)
+    val after = Similarity.ivfCellStats(ixAfter).collect()
+    assert(after.map(_.getAs[Long]("n_vectors")).sum ==
+      base.count() + 2 * base.count())
+    val ratioAfter = after.head.getAs[Double]("imbalance_ratio")
+    assert(ratioAfter > ratioBefore,
+      s"skewed admission not detected: $ratioBefore -> $ratioAfter")
+    // The fattest cell is exactly where the copies were admitted.
+    val copyCells = ixAfter.assigned.filter(col("vec_id") >= 1000000L)
+      .select("cell").distinct().collect().map(_.getInt(0))
+    assert(copyCells.length == 1, "identical copies split across cells")
+    assert(after.maxBy(_.getAs[Long]("n_vectors")).getAs[Int]("cell") ==
+      copyCells.head)
   }
 }
