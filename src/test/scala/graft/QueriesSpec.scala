@@ -29,19 +29,23 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("ANN lifecycle queries compose in any order (shared base stays immutable)") {
-    // q162/q163 admit a co-located delta into the SHARED memoized base;
-    // q164/q165/q166 write only EXTERNAL scratch roots and load with
-    // explicit deltaRoots, so no query ever sees another's segments by
-    // accident. Pin it at board level: run the whole family, then re-run
-    // each member in a scrambled order — every result must be unchanged
-    // by its siblings having mutated their (isolated) state in between.
+    // q162/q163/q168 admit a co-located delta into the SHARED memoized
+    // base (byte-identical b0 segment, so re-admission is idempotent);
+    // q164/q165/q166/q167/q169 write only EXTERNAL scratch roots and
+    // load with explicit deltaRoots, so no query ever sees another's
+    // segments by accident. Pin it at board level: run the whole family,
+    // then re-run each member in a scrambled order — every result must
+    // be unchanged by its siblings having mutated their (isolated) state
+    // in between.
     def rows(q: String): Seq[Seq[Any]] =
       SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq).toSeq
     val first = Seq("q164_stream_ivf_admit", "q162_ivf_admit",
-      "q165_ivf_delete", "q163_ivf_compact", "q166_pq_admit")
+      "q167_pq_delete", "q165_ivf_delete", "q169_external_compact",
+      "q163_ivf_compact", "q168_ivf_imbalance", "q166_pq_admit")
       .map(q => q -> rows(q)).toMap
-    Seq("q163_ivf_compact", "q165_ivf_delete", "q166_pq_admit",
-      "q164_stream_ivf_admit", "q162_ivf_admit").foreach { q =>
+    Seq("q163_ivf_compact", "q168_ivf_imbalance", "q165_ivf_delete",
+      "q166_pq_admit", "q169_external_compact", "q164_stream_ivf_admit",
+      "q167_pq_delete", "q162_ivf_admit").foreach { q =>
       assert(rows(q) == first(q), s"$q changed after its siblings ran")
     }
   }
