@@ -110,6 +110,7 @@ python3 tools/merge_bench.py /tmp/campaign13/m_sf10.json \
   /tmp/campaign13/e_q109_sf10.json /tmp/campaign12/e_q149_q155_sf10.json \
   /tmp/campaign11/e3_q109_sf10.json /tmp/campaign11/e_q110_sf10.json \
   /tmp/campaign13/r11_sf10_a.json /tmp/campaign13/r11_sf10_b.json
+SCALING_NOTE="Round-13 matrix, per-query winning-JVM probe attribution throughout. All four scale points ran on THE SAME box as the r11/r12 campaigns (/tmp survived across rounds), so same-box leftover JVMs serve as extra storm-dodging samples for code-identical queries: sf0.1 = 2 fresh r13 full-board JVMs + the 2 r12 JVMs (touched ANN-lifecycle family q162-q166 stripped from the r12 inputs); sf1/sf3 = 1 fresh r13 JVM over the touched+new queries (q162-q169) merged with the r12 full-board JVM (touched family stripped — every other query is code-identical r12->r13); sf10 = fresh r13 JVMs for the touched family + the r12-graph-pin family (q150-q161) + dedicated q149+q155 and q109 samples, merged with the r11 sf10 heavy-subset JVMs (graph + lifecycle families stripped: those are the only queries whose code changed since r11) and the r11 dedicated q109/q110 samples. A stale-code wall can therefore never win a merge; every wall's probe is the probe of the JVM that produced it." \
 python3 tools/scaling_report.py /tmp/campaign13/m_sf01.json /tmp/campaign13/m_sf1.json \
   /root/repo/SCALING.md /tmp/campaign13/m_sf3.json /tmp/campaign13/m_sf10.json
 cp /tmp/campaign13/m_sf01.json /root/repo/BENCH_SIDECAR_r13.json
