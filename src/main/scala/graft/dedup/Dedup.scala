@@ -98,14 +98,22 @@ object Dedup {
   /** The shared guts of the Jaccard family: collapse exact duplicates,
     * shingle the distinct texts, stop-shingle filter (df weighted by group
     * size), intersect-count equi-join, Jaccard threshold — everything up
-    * to (but not including) the member-pair expansion. */
-  /** `pinShingles` materializes the df-filtered shingle stack once
+    * to (but not including) the member-pair expansion.
+    *
+    * `pinShingles` materializes the df-filtered shingle stack once
     * (localCheckpoint) for callers that execute the graph in MORE than one
     * job — [[canonicalizeClusters]] collects the rep edges for clustering
     * and then assembles the labeled output in a second job, and without
     * the pin the whole shingle explode + document-frequency filter would
     * run twice. Single-job callers ([[ngramJaccardPairs]]) leave it off:
-    * one execution needs no materialization. */
+    * this round MEASURED the alternative (pinning the exploded stack for
+    * every caller to collapse the plan's ~10 shingle-subtree copies) and
+    * it LOST — materializing the multi-GB string stack through the block
+    * manager cost 1.5-2.3x the re-executed codegen'd explodes (q28
+    * 5.8→7.0+ s, q127 4.2→8.7 s, q146 4.1→6.4+ s at sf0.1, probe-
+    * qualified over three JVMs), so recompute-over-materialize is the
+    * deliberate choice here (guide §5: cache only when recompute is
+    * dearer than the memory pressure). */
   private[graft] def ngramJaccardGraph(
       documents: DataFrame,
       n: Int,
@@ -734,6 +742,11 @@ object Dedup {
       .agg(count(lit(1)).as("gsz"), min(col("doc_id")).as("rid"))
     val exReps = existing.select(col("doc_id"), col("text"))
       .join(exG.select(col("rid").as("doc_id"), col("gid"), col("gsz")), Seq("doc_id"))
+    // Deliberately NOT pinned: the q146 plan re-executes this shingle
+    // subtree per consumer (~8 copies), but the round-13 measurement of
+    // pinning it (localCheckpoint here + on fex/finc) LOST 1.6-2.2x at
+    // sf0.1 — materializing the string stack costs more than re-running
+    // the codegen'd explode (see ngramJaccardGraph's doc).
     val exShingles = shingled(exReps, n, extra = Seq("gid", "gsz"))
       .select(col("gid"), col("gsz"), explode(array_distinct(col("sh"))).as("sh"))
     val nEx = existing.select(count(lit(1))).first().getLong(0)

@@ -621,6 +621,15 @@ object Relational {
     * table, which is the property that makes daily 100 TB dimension
     * maintenance affordable. */
   def scd2Apply(history: DataFrame, batch: DataFrame): DataFrame = {
+    // Deliberately UNPINNED throughout (round-13 measurement): eager
+    // delta-sized localCheckpoints on keys/affected/newRows looked like
+    // they should kill the plan's repeated history derivations (q140's
+    // plan carries 32 orders scans), but each pin is its own job with a
+    // full barrier, and per APPLY that overhead measured 2.3x the
+    // recomputation it saved at sf0.1 (q140 1.9→4.5 s; the per-batch
+    // streaming callers q144/q145/q89 each lost 15-25% too). At real
+    // scale history is a parquet table whose repeated scans are cheap
+    // columnar reads; the lazy shape is the right one on both ends.
     val keys = batch.select(col("o_custkey")).distinct()
     val affected = history.join(keys, Seq("o_custkey"), "left_semi")
     val untouched = history.join(keys, Seq("o_custkey"), "left_anti")

@@ -54,17 +54,40 @@ object Validation {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
-    val aggs = cols.flatMap { c =>
-      val distinct =
-        if (exactDistinct) countDistinct(col(c))
-        else approx_count_distinct(col(c), rsd)
+    // min/max carry string (and other non-primitive) aggregation buffers,
+    // which Spark's HashAggregate cannot hold — so any aggregation mixing
+    // them with exact countDistinct rides the distinct rewrite's Expand
+    // and degrades to SortAggregate: the (N+1)x-expanded table gets SORTED
+    // by every profiled column (measured 3.5 s of q66's 3.5 s at sf0.1).
+    // Split the exact path instead: the N countDistincts run alone (pure
+    // group-by keys through the Expand — HashAggregate all the way), and
+    // nulls/min/max/count fold in ONE keyless pass (no sort: a global
+    // SortAggregate with empty keys is just a fold). Two scans beat one
+    // scan + a full sort of (N+1)x the table at every scale.
+    val basicAggs = cols.flatMap { c =>
       Seq(
         sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
-        distinct.as(s"__distinct_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__n_rows")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (exactDistinct) {
+        val distinctAggs = cols.map(c => countDistinct(col(c)).as(s"__distinct_$c"))
+        df.agg(basicAggs.head, basicAggs.tail: _*)
+          .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+      } else {
+        // approx_count_distinct's HLL buffer is binary (non-hashable too),
+        // but with no Expand in play the whole profile stays ONE keyless
+        // fold pass — keep the single-scan shape.
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+            approx_count_distinct(col(c), rsd).as(s"__distinct_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        } :+ count(lit(1)).as("__n_rows")
+        df.agg(aggs.head, aggs.tail: _*)
+      }
     val perCol = cols.map { c =>
       struct(
         lit(c).as("column_name"),

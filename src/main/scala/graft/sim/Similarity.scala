@@ -152,8 +152,15 @@ object Similarity {
     * centroids as a JSON sidecar. Build once, query across sessions —
     * the index contract the in-memory memoization only approximates. */
   def saveIvf(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assigned")
+    // Cluster by cell before the partitioned write (the Iceberg
+    // hash-distribution-mode discipline, guide §6): a straight map-side
+    // partitionBy writes one file per (task × cell) — 32 tasks × nlist
+    // cells = hundreds of tiny files whose open/list overhead dominates
+    // cold probes; the narrow shuffle makes it ~one file per cell, and at
+    // 100 TB keeps probe-side file counts proportional to cells, not to
+    // writer parallelism.
+    index.assigned.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
     val spark = index.assigned.sparkSession
     val json = index.centroids.map { case (i, c) =>
       s"""{"i":$i,"c":[${c.mkString(",")}]}"""
@@ -224,6 +231,10 @@ object Similarity {
       s"delta_$segment") { tmp =>
       graft.ops.Partitioning.spread(batch)
         .withColumn("cell", cellColumn(centroids))
+        // Narrow post-assignment shuffle -> ~one file per cell per
+        // segment (see saveIvf): keeps the per-segment file count flat
+        // as admission batches accumulate.
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$tmp/assigned")
     }
@@ -343,6 +354,9 @@ object Similarity {
   def ivfCompactTo(spark: org.apache.spark.sql.SparkSession, path: String,
       outPath: String, deltaRoots: Option[Seq[String]] = None): Unit = {
     loadIvfWithDeltas(spark, path, deltaRoots).assigned
+      // Compaction exists to restore file hygiene — cluster by cell so the
+      // fresh generation lands ~one file per cell (see saveIvf).
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/assigned")
     copySidecar(spark, s"$path/centroids.json", s"$outPath/centroids.json")
   }

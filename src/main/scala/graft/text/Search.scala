@@ -43,6 +43,12 @@ object Search {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      // Tiny pin (≤ matching docs × |terms| rows): tf feeds the df
+      // aggregate AND the scoring join — without it the tokenize + explode
+      // pipeline re-executes per consumer (the round-13 q53 plan carried
+      // FIVE copies of the split(text) subtree; a pinned tf leaves two
+      // corpus passes: the dl statistics and the tf explode itself).
+      .localCheckpoint(true)
     val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
     val avgdl = col("total_dl").cast("double") / col("n_docs")
     val idf = log(lit(1) +
